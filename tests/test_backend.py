@@ -1,0 +1,156 @@
+"""Backend GN tests: JAX Schur-eliminated solver vs the independent NumPy golden."""
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tpuslam.backend import graph as G
+from tpuslam.backend import gauss_newton as gn
+from tpuslam.backend import golden
+from tpuslam.geometry import se2
+
+CAP = G.GraphCapacity(max_poses=64, max_landmarks=32, max_obs=256)
+CFG = gn.GNConfig(iterations=10)
+
+
+def _build_world(n_poses=12, n_lm=8, noise=0.15, seed=3):
+    """Simulate a noisy loop: ground-truth circle + landmark ring."""
+    rng = np.random.default_rng(seed)
+    radius = 10.0
+    t = np.linspace(0, 2 * np.pi, n_poses, endpoint=False)
+    gt_poses = np.stack([radius * np.cos(t), radius * np.sin(t),
+                         se2.wrap_angle(t + np.pi / 2)], axis=1)
+    ang = np.linspace(0, 2 * np.pi, n_lm, endpoint=False) + 0.2
+    gt_lms = np.stack([13.0 * np.cos(ang), 13.0 * np.sin(ang)], axis=1)
+
+    noisy_poses = gt_poses + rng.normal(0, noise, gt_poses.shape)
+    noisy_lms = gt_lms + rng.normal(0, noise, gt_lms.shape)
+    obs = []  # (pose_idx, lm_idx, body_xy from ground truth + noise)
+    for i, p in enumerate(gt_poses):
+        for j, l in enumerate(gt_lms):
+            d = l - p[:2]
+            if np.linalg.norm(d) < 8.0:
+                c, s = np.cos(p[2]), np.sin(p[2])
+                body = np.array([c * d[0] + s * d[1], -s * d[0] + c * d[1]])
+                obs.append((i, j, body + rng.normal(0, 0.05, 2)))
+    assert obs, "world must produce observations"
+    return noisy_poses, noisy_lms, obs
+
+
+def _as_factor_graph(poses, lms, obs):
+    g = G.empty_graph(CAP)
+    prev = None
+    for p in poses:
+        meas = np.zeros(3) if prev is None else np.asarray(se2.between(prev, p))
+        g = G.add_pose(g, jnp.asarray(p, jnp.float32), jnp.asarray(meas, jnp.float32))
+        prev = p
+    for l, row in enumerate(lms):
+        g = G.add_landmark(g, jnp.asarray(row, jnp.float32), jnp.int32(1))
+    for i, j, z in obs:
+        g = G.add_observation(g, jnp.int32(i), jnp.int32(j), jnp.asarray(z, jnp.float32))
+    return g
+
+
+def _as_golden(poses, lms, obs):
+    gg = golden.GoldenGraph()
+    for p in poses:
+        gg.add_pose(p)
+    for row in lms:
+        gg.add_landmark(row)
+    for i, j, z in obs:
+        gg.add_observation(i, j, z)
+    return gg
+
+
+def test_residual_jacobians_match_numeric():
+    """Closed-form Jacobians vs central differences."""
+    from tpuslam.backend.residuals import landmark_residuals, odometry_residuals
+    rng = np.random.default_rng(1)
+    pi = rng.normal(0, 1, 3)
+    pj = rng.normal(0, 1, 3)
+    m = rng.normal(0, 0.5, 3)
+    r, j_i, j_j = odometry_residuals(jnp.asarray(pi), jnp.asarray(pj), jnp.asarray(m))
+    eps = 1e-4
+
+    def num_jac(f, x):
+        out = []
+        for k in range(x.size):
+            dx = np.zeros_like(x)
+            dx[k] = eps
+            out.append((np.asarray(f(x + dx)) - np.asarray(f(x - dx))) / (2 * eps))
+        return np.stack(out, axis=-1)
+
+    np.testing.assert_allclose(
+        np.asarray(j_i),
+        num_jac(lambda x: odometry_residuals(jnp.asarray(x), jnp.asarray(pj), jnp.asarray(m))[0], pi),
+        atol=1e-2)
+    np.testing.assert_allclose(
+        np.asarray(j_j),
+        num_jac(lambda x: odometry_residuals(jnp.asarray(pi), jnp.asarray(x), jnp.asarray(m))[0], pj),
+        atol=1e-2)
+
+    l = rng.normal(0, 5, 2)
+    z = rng.normal(0, 1, 2)
+    r2, j_p, j_l = landmark_residuals(jnp.asarray(pi), jnp.asarray(l), jnp.asarray(z))
+    np.testing.assert_allclose(
+        np.asarray(j_p),
+        num_jac(lambda x: landmark_residuals(jnp.asarray(x), jnp.asarray(l), jnp.asarray(z))[0], pi),
+        atol=1e-2)
+    np.testing.assert_allclose(
+        np.asarray(j_l),
+        num_jac(lambda x: landmark_residuals(jnp.asarray(pi), jnp.asarray(x), jnp.asarray(z))[0], l),
+        atol=1e-2)
+
+
+def test_gn_matches_golden():
+    poses, lms, obs = _build_world()
+    fg = _as_factor_graph(poses, lms, obs)
+    gg = _as_golden(poses, lms, obs)
+
+    chi_before = float(gn.chi2(fg, CFG))
+    fg_opt = gn.optimize(fg, CFG)
+    chi_after = float(gn.chi2(fg_opt, CFG))
+    golden.golden_optimize(gg, iterations=10)
+
+    assert chi_after < chi_before * 0.5, (chi_before, chi_after)
+    got_poses = np.asarray(fg_opt.poses)[:len(poses)]
+    want_poses = np.stack(gg.poses)
+    np.testing.assert_allclose(got_poses[:, :2], want_poses[:, :2], atol=2e-3)
+    ang_err = np.abs(np.asarray(se2.wrap_angle(got_poses[:, 2] - want_poses[:, 2])))
+    assert ang_err.max() < 2e-3
+    got_lms = np.asarray(fg_opt.lm_xy)[:len(lms)]
+    np.testing.assert_allclose(got_lms, np.stack(gg.landmarks), atol=2e-3)
+
+
+def test_gauge_vertices_stay_fixed():
+    poses, lms, obs = _build_world()
+    fg = _as_factor_graph(poses, lms, obs)
+    fg_opt = gn.optimize(fg, CFG)
+    np.testing.assert_allclose(np.asarray(fg_opt.poses)[:2], poses[:2], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(fg_opt.lm_xy)[:2], lms[:2], atol=1e-6)
+    # padding untouched
+    np.testing.assert_allclose(np.asarray(fg_opt.poses)[len(poses):], 0.0, atol=1e-6)
+
+
+def test_chi2_decreases_monotonically_early():
+    poses, lms, obs = _build_world(noise=0.3)
+    fg = _as_factor_graph(poses, lms, obs)
+    chis = []
+    for _ in range(4):
+        chis.append(float(gn.chi2(fg, CFG)))
+        fg = gn.gn_step(fg, CFG)
+    chis.append(float(gn.chi2(fg, CFG)))
+    assert chis[-1] < chis[0]
+    assert chis[1] < chis[0]
+
+
+def test_masked_growth_no_recompile_shape():
+    """Graph ops keep static shapes regardless of counts."""
+    g = G.empty_graph(CAP)
+    g = G.add_pose(g, jnp.zeros(3), jnp.zeros(3))
+    assert g.poses.shape == (CAP.max_poses, 3)
+    g2 = G.add_landmark(g, jnp.ones(2), jnp.int32(2), enable=False)
+    assert int(g2.n_landmarks) == 0  # masked no-op
+    g3 = G.add_landmark(g, jnp.ones(2), jnp.int32(2), enable=True)
+    assert int(g3.n_landmarks) == 1

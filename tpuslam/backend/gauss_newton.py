@@ -1,0 +1,205 @@
+"""Batched Gauss-Newton with landmark Schur elimination — the GraphSLAM core.
+
+Replaces the reference's g2o stack (`OptimizationAlgorithmGaussNewton` over
+`BlockSolver<-1,-1>` + `LinearSolverEigen`, reference src/slam.cpp:53-65 and
+461-484) with a TPU-first design:
+
+- All factor residuals/Jacobians evaluate batched on the VPU
+  (tpuslam.backend.residuals — closed forms, no autodiff in the hot path).
+- The Hessian is assembled into *dense blocked* structures sized for the MXU:
+  Hpp (3P x 3P), the pose-landmark coupling W (3P x 2L), and the landmark
+  diagonal Hll as [L, 2, 2] blocks. Landmark elimination (Schur complement
+  S = Hpp - W Hll^-1 W^T) is one large matmul; at Formula-Student scale
+  (P ~ 1e3 poses, L ~ 5e2 landmarks) densifying the reduced system and
+  feeding the systolic array beats any sparse factorization.
+- Gauge freedom is fixed exactly as the reference does: the first two poses
+  and first two landmarks are clamped (reference src/slam.cpp:464-474),
+  implemented by projecting their rows/columns to identity so their update is
+  exactly zero.
+- The per-shard `assemble` is a pure function of edge arrays, so the
+  distributed path (tpuslam.parallel) shard_maps it over the observation axis
+  and psums the block contributions into the reduced pose system.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from tpuslam import compat
+from tpuslam.backend.graph import FactorGraph
+from tpuslam.backend.residuals import landmark_residuals, odometry_residuals
+from tpuslam.geometry import se2
+
+__all__ = ["GNConfig", "assemble", "schur_solve", "gn_step", "optimize", "chi2"]
+
+
+@dataclass(frozen=True)
+class GNConfig:
+    odo_info: float = compat.REF_ODOMETRY_INFO     # I3*5  (src/slam.cpp:456)
+    lm_info: float = compat.REF_LANDMARK_INFO      # I2*0.01 (src/slam.cpp:546)
+    iterations: int = compat.REF_GN_ITERATIONS     # optimize(10) (src/slam.cpp:481)
+    fix_first_poses: int = 2                       # vertices 1000,1001 (src/slam.cpp:464-468)
+    fix_first_landmarks: int = 2                   # vertices 0,1 (src/slam.cpp:470-474)
+    damping: float = 0.0                           # optional Levenberg diag boost
+    use_cholesky_kernel: bool = False              # route S solve through Pallas
+
+
+def _block_idx(idx, bs):
+    """Variable index [E] -> flattened row indices [E, bs]."""
+    return idx[:, None] * bs + jnp.arange(bs)[None, :]
+
+
+def _edge_terms(g: FactorGraph, cfg: GNConfig):
+    """Per-edge residual/Jacobian/weight arrays (shared by assemble & chi2)."""
+    cap = g.capacity
+    dtype = g.poses.dtype
+
+    k = jnp.arange(cap.max_poses)
+    odo_valid = (k >= 1) & (k < g.n_poses)
+    p_prev = g.poses[jnp.maximum(k - 1, 0)]
+    r_o, j_oi, j_oj = odometry_residuals(p_prev, g.poses, g.odo_meas)
+    w_o = jnp.asarray(cfg.odo_info, dtype) * odo_valid.astype(dtype)
+
+    pidx = g.obs_pose
+    lidx = g.obs_lm
+    r_l, j_lp, j_ll = landmark_residuals(g.poses[pidx], g.lm_xy[lidx], g.obs_xy)
+    w_l = jnp.asarray(cfg.lm_info, dtype) * g.obs_valid.astype(dtype)
+    return (r_o, j_oi, j_oj, w_o), (r_l, j_lp, j_ll, w_l, pidx, lidx)
+
+
+def chi2(g: FactorGraph, cfg: GNConfig):
+    """Weighted squared error — parity with g2o's verbose chi2 dump."""
+    (r_o, _, _, w_o), (r_l, _, _, w_l, _, _) = _edge_terms(g, cfg)
+    return (jnp.sum(w_o * jnp.sum(r_o * r_o, -1))
+            + jnp.sum(w_l * jnp.sum(r_l * r_l, -1)))
+
+
+def assemble(g: FactorGraph, cfg: GNConfig):
+    """Build the blocked normal equations.
+
+    Returns (Hpp [3P,3P], W [3P,2L], Hll [L,2,2], gp [3P], gl [L,2]).
+    Pure function of the graph arrays; contributions are sums over edges, so
+    edge-sharded partial results psum into the same totals.
+    """
+    cap = g.capacity
+    P, L = cap.max_poses, cap.max_landmarks
+    dtype = g.poses.dtype
+    (r_o, j_oi, j_oj, w_o), (r_l, j_lp, j_ll, w_l, pidx, lidx) = _edge_terms(g, cfg)
+
+    hpp = jnp.zeros((3 * P, 3 * P), dtype)
+    gp = jnp.zeros((3 * P,), dtype)
+
+    # --- odometry chain: blocks at (k-1, k-1), (k-1, k), (k, k-1), (k, k)
+    k = jnp.arange(P)
+    rows_i = _block_idx(jnp.maximum(k - 1, 0), 3)
+    rows_j = _block_idx(k, 3)
+    w3 = w_o[:, None, None]
+    jti = jnp.swapaxes(j_oi, -1, -2)
+    jtj = jnp.swapaxes(j_oj, -1, -2)
+    hpp = hpp.at[rows_i[:, :, None], rows_i[:, None, :]].add(w3 * (jti @ j_oi))
+    hpp = hpp.at[rows_i[:, :, None], rows_j[:, None, :]].add(w3 * (jti @ j_oj))
+    hpp = hpp.at[rows_j[:, :, None], rows_i[:, None, :]].add(w3 * (jtj @ j_oi))
+    hpp = hpp.at[rows_j[:, :, None], rows_j[:, None, :]].add(w3 * (jtj @ j_oj))
+    gp = gp.at[rows_i].add(w_o[:, None] * (jti @ r_o[..., None])[..., 0])
+    gp = gp.at[rows_j].add(w_o[:, None] * (jtj @ r_o[..., None])[..., 0])
+
+    # --- landmark observation edges
+    rows_p = _block_idx(pidx, 3)
+    cols_l = _block_idx(lidx, 2)
+    wl3 = w_l[:, None, None]
+    jtp = jnp.swapaxes(j_lp, -1, -2)   # [E, 3, 2]
+    hpp = hpp.at[rows_p[:, :, None], rows_p[:, None, :]].add(wl3 * (jtp @ j_lp))
+    gp = gp.at[rows_p].add(w_l[:, None] * (jtp @ r_l[..., None])[..., 0])
+
+    w_mat = jnp.zeros((3 * P, 2 * L), dtype)
+    w_mat = w_mat.at[rows_p[:, :, None], cols_l[:, None, :]].add(wl3 * (jtp @ j_ll))
+
+    jtl = jnp.swapaxes(j_ll, -1, -2)
+    hll = jax.ops.segment_sum(wl3 * (jtl @ j_ll), lidx, num_segments=L)
+    gl = jax.ops.segment_sum(w_l[:, None] * (jtl @ r_l[..., None])[..., 0],
+                             lidx, num_segments=L)
+    return hpp, w_mat, hll, gp, gl
+
+
+def _inv2x2(m):
+    """Batched closed-form 2x2 inverse."""
+    a, b = m[..., 0, 0], m[..., 0, 1]
+    c, d = m[..., 1, 0], m[..., 1, 1]
+    det = a * d - b * c
+    det = jnp.where(jnp.abs(det) < 1e-20, 1.0, det)
+    inv = jnp.stack([jnp.stack([d, -b], -1), jnp.stack([-c, a], -1)], -2)
+    return inv / det[..., None, None]
+
+
+def _apply_gauge(g: FactorGraph, cfg: GNConfig, hpp, w_mat, hll, gp, gl):
+    """Clamp fixed + padding variables: identity rows/cols, zero gradient."""
+    P, L = g.capacity.max_poses, g.capacity.max_landmarks
+    dtype = hpp.dtype
+    kp = jnp.arange(P)
+    free_pose = (kp >= cfg.fix_first_poses) & (kp < g.n_poses)
+    kl = jnp.arange(L)
+    free_lm = (kl >= cfg.fix_first_landmarks) & (kl < g.n_landmarks)
+
+    fp = jnp.repeat(free_pose.astype(dtype), 3)   # [3P]
+    fl2 = jnp.repeat(free_lm.astype(dtype), 2)    # [2L]
+    hpp = hpp * fp[:, None] * fp[None, :] + jnp.diag(1.0 - fp)
+    w_mat = w_mat * fp[:, None] * fl2[None, :]
+    eye2 = jnp.eye(2, dtype=dtype)
+    flb = free_lm.astype(dtype)[:, None, None]
+    hll = hll * flb + eye2 * (1.0 - flb)
+    gp = gp * fp
+    gl = gl * free_lm.astype(dtype)[:, None]
+    if cfg.damping:
+        hpp = hpp + jnp.diag(jnp.asarray(cfg.damping, dtype) * fp)
+        hll = hll + eye2 * jnp.asarray(cfg.damping, dtype) * flb
+    return hpp, w_mat, hll, gp, gl
+
+
+def schur_solve(hpp, w_mat, hll, gp, gl, use_cholesky_kernel=False):
+    """Solve the gauged system via landmark Schur elimination.
+
+    [Hpp  W ] [dp]   [-gp]      S dp = -gp + W Hll^-1 gl,
+    [W^T Hll] [dl] = [-gl]  =>  dl   = -Hll^-1 (gl + W^T dp),
+    with S = Hpp - W Hll^-1 W^T computed as one MXU matmul.
+    """
+    three_p = hpp.shape[0]
+    l = hll.shape[0]
+    hll_inv = _inv2x2(hll)
+    w3 = w_mat.reshape(three_p, l, 2)
+    wa = jnp.einsum("plk,lkm->plm", w3, hll_inv)            # W Hll^-1
+    wa_flat = wa.reshape(three_p, 2 * l)
+    s = hpp - wa_flat @ w_mat.T
+    rhs = -gp + wa_flat @ gl.reshape(-1)
+    if use_cholesky_kernel:
+        from tpuslam.ops.cholesky import cholesky as chol_fn
+        c = chol_fn(s)
+    else:
+        c = jnp.linalg.cholesky(s)
+    dp = jax.scipy.linalg.cho_solve((c, True), rhs)
+    wtdp = jnp.einsum("plk,p->lk", w3, dp)
+    dl = -jnp.einsum("lkm,lm->lk", hll_inv, gl + wtdp)
+    return dp, dl
+
+
+@partial(jax.jit, static_argnames="cfg")
+def gn_step(g: FactorGraph, cfg: GNConfig) -> FactorGraph:
+    """One Gauss-Newton iteration over the full graph."""
+    blocks = assemble(g, cfg)
+    blocks = _apply_gauge(g, cfg, *blocks)
+    dp, dl = schur_solve(*blocks, use_cholesky_kernel=cfg.use_cholesky_kernel)
+    d_pose = dp.reshape(-1, 3)
+    poses = g.poses + d_pose
+    poses = poses.at[:, 2].set(se2.wrap_angle(poses[:, 2]))
+    return dataclasses.replace(g, poses=poses, lm_xy=g.lm_xy + dl)
+
+
+@partial(jax.jit, static_argnames="cfg")
+def optimize(g: FactorGraph, cfg: GNConfig) -> FactorGraph:
+    """Run `cfg.iterations` GN iterations (reference runs 10, src/slam.cpp:481)."""
+    def body(_, gg):
+        return gn_step(gg, cfg)
+    return jax.lax.fori_loop(0, cfg.iterations, body, g)
