@@ -165,6 +165,9 @@ def schur_solve(hpp, w_mat, hll, gp, gl, use_cholesky_kernel=False):
     [Hpp  W ] [dp]   [-gp]      S dp = -gp + W Hll^-1 gl,
     [W^T Hll] [dl] = [-gl]  =>  dl   = -Hll^-1 (gl + W^T dp),
     with S = Hpp - W Hll^-1 W^T computed as one MXU matmul.
+
+    NOTE: runs under highest matmul precision — TPU default bf16 passes wreck
+    the normal equations' conditioning and NaN the Cholesky.
     """
     three_p = hpp.shape[0]
     l = hll.shape[0]
@@ -188,9 +191,10 @@ def schur_solve(hpp, w_mat, hll, gp, gl, use_cholesky_kernel=False):
 @partial(jax.jit, static_argnames="cfg")
 def gn_step(g: FactorGraph, cfg: GNConfig) -> FactorGraph:
     """One Gauss-Newton iteration over the full graph."""
-    blocks = assemble(g, cfg)
-    blocks = _apply_gauge(g, cfg, *blocks)
-    dp, dl = schur_solve(*blocks, use_cholesky_kernel=cfg.use_cholesky_kernel)
+    with jax.default_matmul_precision("highest"):
+        blocks = assemble(g, cfg)
+        blocks = _apply_gauge(g, cfg, *blocks)
+        dp, dl = schur_solve(*blocks, use_cholesky_kernel=cfg.use_cholesky_kernel)
     d_pose = dp.reshape(-1, 3)
     poses = g.poses + d_pose
     poses = poses.at[:, 2].set(se2.wrap_angle(poses[:, 2]))

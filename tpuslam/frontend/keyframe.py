@@ -1,0 +1,264 @@
+"""The per-keyframe SLAM update — one fused XLA program.
+
+This is the TPU-native replacement for the reference's hot path
+(`Slam::performSLAM` -> `addConesToMap`/`localizer` -> publishing,
+reference src/slam.cpp:298-414). The whole update — GPS-outlier guard, pose
+insertion, data association, landmark creation, loop-closure detection, the
+one-shot full Gauss-Newton optimization, localization, and egress packet
+construction — compiles into a single jit call with static shapes: no host
+round-trips, no recompiles as the map grows.
+
+Mapping mode keeps the reference's *sequential-within-frame* semantics (each
+observation sees landmarks created by earlier observations in the same frame,
+reference src/slam.cpp:570-623) via lax.scan over the observation axis, with
+the landmark axis fully vectorized — the "sequential update -> batched
+association" transformation named in BASELINE.json.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from tpuslam.backend import gauss_newton as gn
+from tpuslam.backend import graph as G
+from tpuslam.frontend.state import SlamState
+from tpuslam.geometry import se2
+from tpuslam.geometry.spherical import (
+    cone_to_global, global_to_body_spherical, spherical_to_cartesian,
+)
+from tpuslam.runtime.config import SlamConfig
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class KeyframeOutputs:
+    """What the service publishes after a localization update
+    (reference src/slam.cpp:656-695)."""
+    pose: jax.Array        # [3] published pose (local Cartesian + heading)
+    cone_azimuth: jax.Array  # [K] degrees, car frame (reference quirk units)
+    cone_distance: jax.Array  # [K] meters
+    cone_type: jax.Array   # [K] int32
+    send: jax.Array        # bool — whether this keyframe publishes
+    loop_closed: jax.Array  # bool — closure optimization ran this keyframe
+    n_landmarks: jax.Array  # i32 diagnostic
+
+
+def _gn_config(cfg: SlamConfig) -> gn.GNConfig:
+    return gn.GNConfig(odo_info=cfg.odo_info, lm_info=cfg.lm_info,
+                       iterations=cfg.gn_iterations)
+
+
+def _body_xy(ob, cfg: SlamConfig):
+    """Observation spherical triple -> body-frame Cartesian measurement."""
+    xyz = spherical_to_cartesian(ob[..., 0], ob[..., 1], ob[..., 2],
+                                 cfg.lidar_to_cog, cfg.reference_compat)
+    return xyz[..., :2]
+
+
+def _mapping_step(state: SlamState, obs, obs_valid, pose, pose_idx, cfg: SlamConfig):
+    """Reference-faithful mapping-mode update (src/slam.cpp:552-635)."""
+    g = state.graph
+    thresh2 = cfg.same_cone_threshold * cfg.same_cone_threshold
+
+    # Bootstrap: empty map seeds landmark 0 from observation 0 *before* the
+    # scan (src/slam.cpp:554-567) — the scan then re-matches it, giving the
+    # first observation two edges exactly like the reference.
+    glob0 = cone_to_global(pose, obs[0, 0], obs[0, 1], obs[0, 2],
+                           cfg.lidar_to_cog, cfg.reference_compat)
+    boot = (g.n_landmarks == 0) & obs_valid[0]
+    g = G.add_landmark(g, glob0, obs[0, 3].astype(jnp.int32), enable=boot)
+    g = G.add_observation(g, pose_idx, jnp.int32(0), _body_xy(obs[0], cfg), enable=boot)
+
+    def body(carry, inp):
+        g, cur_idx, min_dist, closing = carry
+        ob, valid = inp
+        glob = cone_to_global(pose, ob[0], ob[1], ob[2],
+                              cfg.lidar_to_cog, cfg.reference_compat)
+        dist2car = ob[2]
+        ob_type = ob[3].astype(jnp.int32)
+
+        d = g.lm_xy - glob
+        d2 = jnp.sum(d * d, axis=-1)
+        ok = ((g.lm_type == ob_type) & g.lm_valid & (d2 < thresh2)
+              & valid & ~closing)
+        if cfg.association == "first":
+            j = jnp.argmax(ok).astype(jnp.int32)  # first index within gate
+        else:
+            j = jnp.argmin(jnp.where(ok, d2, 1e30)).astype(jnp.int32)
+        matched = jnp.any(ok)
+
+        meas = _body_xy(ob, cfg)
+        g = G.add_observation(g, pose_idx, j, meas, enable=matched)
+
+        # Loop-closure test BEFORE the current-index update, using the
+        # pre-update index — reference src/slam.cpp:593 runs before :598.
+        d_first = jnp.sum((g.lm_xy[j] - g.lm_xy[0]) ** 2)
+        closure = (matched
+                   & (d_first < cfg.loop_closure_radius ** 2)
+                   & (cur_idx > cfg.loop_closure_min_index)
+                   & (dist2car < cfg.cone_mapping_threshold))
+        closing_next = closing | closure
+
+        upd = matched & (dist2car < min_dist)
+        cur_next = jnp.where(upd, j, cur_idx)
+        min_next = jnp.where(upd, dist2car, min_dist)
+
+        new_cone = (valid & ~matched & ~closing
+                    & (dist2car < cfg.cone_mapping_threshold))
+        slot = g.n_landmarks
+        g = G.add_landmark(g, glob, ob_type, enable=new_cone)
+        g = G.add_observation(g, pose_idx, slot, meas, enable=new_cone)
+        return (g, cur_next, min_next, closing_next), None
+
+    init = (g, state.current_cone_index, jnp.float32(100.0), state.loop_closing)
+    (g, cur, _, closing), _ = jax.lax.scan(body, init, (obs, obs_valid))
+
+    # One-shot closure: full GN re-optimization + map refresh, then freeze
+    # (reference src/slam.cpp:625-633; it redundantly re-optimizes once per
+    # remaining observation — converged after the first, so we run it once).
+    do_opt = closing & ~state.loop_closure_complete
+
+    def run_opt(gg):
+        return gn.optimize(gg, _gn_config(cfg))
+
+    g = jax.lax.cond(do_opt, run_opt, lambda gg: gg, g)
+    return dataclasses.replace(
+        state, graph=g, current_cone_index=cur, loop_closing=closing,
+        loop_closure_complete=state.loop_closure_complete | closing,
+    ), do_opt
+
+
+def _pose_refine(pose, g: G.FactorGraph, idx, matched, meas_xy, iters=3):
+    """Pose-only GN against the frozen map (improvement over the reference,
+    whose localization-mode optimize is disabled — src/slam.cpp:403)."""
+    lm = g.lm_xy[idx]
+    w = matched.astype(pose.dtype)
+
+    def step(_, p):
+        from tpuslam.backend.residuals import landmark_residuals
+        with jax.default_matmul_precision("highest"):
+            pb = jnp.broadcast_to(p, lm.shape[:1] + (3,))
+            r, j_p, _ = landmark_residuals(pb, lm, meas_xy)
+            h = jnp.einsum("e,eki,ekj->ij", w, j_p, j_p) + jnp.eye(3, dtype=pose.dtype) * 1e-6
+            b = jnp.einsum("e,eki,ek->i", w, j_p, r)
+            delta = jnp.linalg.solve(h, -b)
+        newp = p + delta
+        return newp.at[2].set(se2.wrap_angle(newp[2]))
+
+    return jax.lax.cond(jnp.sum(w) >= 2, lambda p: jax.lax.fori_loop(0, iters, step, p),
+                        lambda p: p, pose)
+
+
+def _localization_step(state: SlamState, obs, obs_valid, pose, cfg: SlamConfig):
+    """Localization mode against the frozen map (reference src/slam.cpp:340-414).
+
+    Vectorized: the reference's first-match-in-index-order per observation and
+    min-range current-cone tracking reproduce exactly without the scan.
+    The reference's graph edges added here use a corrupted measurement (it
+    passes the *pose* as the spherical measurement, src/slam.cpp:373) and its
+    re-optimization is disabled, so those edges are dead weight — we do not
+    add them; published results are identical.
+    """
+    g = state.graph
+    glob = jax.vmap(lambda ob: cone_to_global(pose, ob[0], ob[1], ob[2],
+                                              cfg.lidar_to_cog, cfg.reference_compat))(obs)
+    thresh2 = cfg.same_cone_threshold * cfg.same_cone_threshold
+    d = glob[:, None, :] - g.lm_xy[None, :, :]
+    d2 = jnp.sum(d * d, axis=-1)
+    if cfg.reference_compat and cfg.localizer_type_bug:
+        type_ok = (g.lm_type[None, :].astype(jnp.float32)
+                   - obs[:, 3][:, None]) < 1e-4  # signed compare, src/slam.cpp:360
+    else:
+        type_ok = g.lm_type[None, :] == obs[:, 3].astype(jnp.int32)[:, None]
+    ok = type_ok & g.lm_valid[None, :] & obs_valid[:, None] & (d2 < thresh2)
+    j = jnp.argmax(ok, axis=1).astype(jnp.int32)   # first match per obs
+    matched = jnp.any(ok, axis=1)
+
+    dist2car = jnp.where(matched, obs[:, 2], 1e30)
+    best = jnp.argmin(dist2car)
+    any_match = jnp.any(matched)
+    cur_new = jnp.where(any_match, j[best], state.current_cone_index)
+    send_cones = cur_new != state.current_cone_index
+
+    if cfg.localizer_refine:
+        out_pose = _pose_refine(pose, g, j, matched, jax.vmap(
+            lambda ob: _body_xy(ob, cfg))(obs))
+    else:
+        # reference publishes the latest vertex estimate, which is the
+        # odometry pose just added (optimize disabled, src/slam.cpp:403-421)
+        out_pose = pose
+    return dataclasses.replace(state, current_cone_index=cur_new,
+                               send_cone_data=send_cones), out_pose
+
+
+def _cone_packet(state: SlamState, out_pose, cfg: SlamConfig):
+    """Upcoming-cone egress (reference src/slam.cpp:656-679): the
+    `cones_per_packet` map cones from current_cone_index, ring-wrapped."""
+    g = state.graph
+    k = jnp.arange(cfg.cones_per_packet)
+    idx = state.current_cone_index + k
+    n = jnp.maximum(g.n_landmarks, 1)
+    idx = jnp.where(idx < n, idx, idx - n)     # single-wrap, as the reference
+    idx = jnp.clip(idx, 0, n - 1)              # (guard the reference's OOB when n < packet)
+    az, dist = global_to_body_spherical(out_pose, g.lm_xy[idx], cfg.reference_compat)
+    return az, dist, g.lm_type[idx]
+
+
+@partial(jax.jit, static_argnames="cfg", donate_argnames="state")
+def perform_keyframe(state: SlamState, obs, obs_valid, pose, cfg: SlamConfig):
+    """Full keyframe update. obs [N,4] = (az_deg, zen_deg, dist, type)."""
+    # GPS outlier guard (reference src/slam.cpp:300-303)
+    ok_pose = (jnp.abs(pose[0]) <= cfg.gps_outlier_bound) & \
+              (jnp.abs(pose[1]) <= cfg.gps_outlier_bound)
+    n_valid = jnp.sum(obs_valid)
+
+    def run(state):
+        g = state.graph
+        prev = g.poses[jnp.maximum(g.n_poses - 1, 0)]
+        odo = jnp.where(g.n_poses > 0, se2.between(prev, pose), jnp.zeros(3, pose.dtype))
+        g = G.add_pose(g, pose, odo)
+        pose_idx = g.n_poses - 1
+        state = dataclasses.replace(state, graph=g,
+                                    keyframe_count=state.keyframe_count + 1)
+
+        def mapping(state):
+            st, closed = _mapping_step(state, obs, obs_valid, pose, pose_idx, cfg)
+            return st, pose, closed, jnp.asarray(False)
+
+        def localization(state):
+            # reference requires >1 cones for a localization update
+            # (src/slam.cpp:332)
+            def loc(st):
+                st2, out_pose = _localization_step(st, obs, obs_valid, pose, cfg)
+                return st2, out_pose, jnp.asarray(False), jnp.asarray(True)
+
+            def skip(st):
+                return st, pose, jnp.asarray(False), jnp.asarray(False)
+
+            return jax.lax.cond(n_valid > 1, loc, skip, state)
+
+        state, out_pose, closed, send = jax.lax.cond(
+            state.loop_closure_complete, localization, mapping, state)
+
+        # Optional periodic full re-optimization (improvement; off in compat)
+        if cfg.periodic_gn_every > 0:
+            do = (state.keyframe_count % cfg.periodic_gn_every == 0) & \
+                 (state.graph.n_landmarks > 4)
+            new_g = jax.lax.cond(
+                do, lambda gg: gn.optimize(gg, _gn_config(cfg)), lambda gg: gg,
+                state.graph)
+            state = dataclasses.replace(state, graph=new_g)
+        return state, out_pose, closed, send
+
+    def skip(state):
+        return state, pose, jnp.asarray(False), jnp.asarray(False)
+
+    state, out_pose, closed, send = jax.lax.cond(ok_pose, run, skip, state)
+    az, dist, ctype = _cone_packet(state, out_pose, cfg)
+    outputs = KeyframeOutputs(pose=out_pose, cone_azimuth=az, cone_distance=dist,
+                              cone_type=ctype, send=send, loop_closed=closed,
+                              n_landmarks=state.graph.n_landmarks)
+    return state, outputs

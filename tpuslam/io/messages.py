@@ -1,0 +1,160 @@
+"""OpenDLV message types used by the SLAM service, with wire schemas.
+
+The reference compiles these from the ODVD DSL at build time via cluon-msc
+(reference CMakeLists.txt:57-70, schema
+src/opendlv-standard-message-set-v0.9.5.odvd). Here each message is a plain
+dataclass plus a field-spec table that drives the generic proto codec in
+tpuslam.io.proto — same wire format, no codegen step.
+
+Field numbers/types are transcribed from the schema:
+- ObjectDirection [1133] (odvd:294-298), ObjectDistance [1134] (:300-303),
+  ObjectType [1131] (:284-287), Geolocation [1116] (:262-267),
+  GeodeticWgs84Reading [19] (:145-148), GeodeticHeadingReading [1051]
+  (:141-143), AngularVelocityReading [1031] (:77-81).
+- cluon internal: TimeStamp [12], Envelope [1]
+  (reference src/cluon-complete-build.hpp:8199, 8234).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field, fields
+from typing import ClassVar
+
+# wire kinds understood by the codec
+VARINT_SIGNED = "varint_signed"   # zigzag varint (int8..int64)
+VARINT_UNSIGNED = "varint_unsigned"
+FLOAT = "float"                   # 4-byte LE, wire type 5
+DOUBLE = "double"                 # 8-byte LE, wire type 1
+STRING = "string"                 # length-delimited, wire type 2
+MESSAGE = "message"               # nested message, length-delimited
+
+MESSAGE_REGISTRY: dict[int, type] = {}
+
+
+def register(cls):
+    MESSAGE_REGISTRY[cls.ID] = cls
+    return cls
+
+
+def spec(cls):
+    """(field_number, wire_kind, attr_name, nested_type|None) per field."""
+    return cls.FIELDS
+
+
+@register
+@dataclass
+class TimeStamp:
+    ID: ClassVar[int] = 12
+    FIELDS: ClassVar = [(1, VARINT_SIGNED, "seconds", None),
+                        (2, VARINT_SIGNED, "microseconds", None)]
+    seconds: int = 0
+    microseconds: int = 0
+
+    @classmethod
+    def from_micros(cls, us: int) -> "TimeStamp":
+        return cls(seconds=int(us // 1_000_000), microseconds=int(us % 1_000_000))
+
+    @property
+    def micros(self) -> int:
+        return self.seconds * 1_000_000 + self.microseconds
+
+
+@register
+@dataclass
+class Envelope:
+    ID: ClassVar[int] = 1
+    FIELDS: ClassVar = [(1, VARINT_SIGNED, "dataType", None),
+                        (2, STRING, "serializedData", None),
+                        (3, MESSAGE, "sent", TimeStamp),
+                        (4, MESSAGE, "received", TimeStamp),
+                        (5, MESSAGE, "sampleTimeStamp", TimeStamp),
+                        (6, VARINT_UNSIGNED, "senderStamp", None)]
+    dataType: int = 0
+    serializedData: bytes = b""
+    sent: TimeStamp = field(default_factory=TimeStamp)
+    received: TimeStamp = field(default_factory=TimeStamp)
+    sampleTimeStamp: TimeStamp = field(default_factory=TimeStamp)
+    senderStamp: int = 0
+
+
+@register
+@dataclass
+class GeodeticWgs84Reading:
+    ID: ClassVar[int] = 19
+    FIELDS: ClassVar = [(1, DOUBLE, "latitude", None),
+                        (3, DOUBLE, "longitude", None)]
+    latitude: float = 0.0
+    longitude: float = 0.0
+
+
+@register
+@dataclass
+class AngularVelocityReading:
+    ID: ClassVar[int] = 1031
+    FIELDS: ClassVar = [(1, FLOAT, "angularVelocityX", None),
+                        (2, FLOAT, "angularVelocityY", None),
+                        (3, FLOAT, "angularVelocityZ", None)]
+    angularVelocityX: float = 0.0
+    angularVelocityY: float = 0.0
+    angularVelocityZ: float = 0.0
+
+
+@register
+@dataclass
+class GeodeticHeadingReading:
+    ID: ClassVar[int] = 1051
+    FIELDS: ClassVar = [(1, FLOAT, "northHeading", None)]
+    northHeading: float = 0.0
+
+
+@register
+@dataclass
+class Geolocation:
+    ID: ClassVar[int] = 1116
+    FIELDS: ClassVar = [(1, DOUBLE, "latitude", None),
+                        (2, DOUBLE, "longitude", None),
+                        (3, FLOAT, "altitude", None),
+                        (4, FLOAT, "heading", None)]
+    latitude: float = 0.0
+    longitude: float = 0.0
+    altitude: float = 0.0
+    heading: float = 0.0
+
+
+@register
+@dataclass
+class ObjectType:
+    ID: ClassVar[int] = 1131
+    FIELDS: ClassVar = [(1, VARINT_UNSIGNED, "objectId", None),
+                        (2, VARINT_UNSIGNED, "type", None)]
+    objectId: int = 0
+    type: int = 0
+
+
+@register
+@dataclass
+class ObjectDirection:
+    ID: ClassVar[int] = 1133
+    FIELDS: ClassVar = [(1, VARINT_UNSIGNED, "objectId", None),
+                        (2, FLOAT, "azimuthAngle", None),
+                        (3, FLOAT, "zenithAngle", None)]
+    objectId: int = 0
+    azimuthAngle: float = 0.0
+    zenithAngle: float = 0.0
+
+
+@register
+@dataclass
+class ObjectDistance:
+    ID: ClassVar[int] = 1134
+    FIELDS: ClassVar = [(1, VARINT_UNSIGNED, "objectId", None),
+                        (2, FLOAT, "distance", None)]
+    objectId: int = 0
+    distance: float = 0.0
+
+
+@dataclass
+class GenericMessage:
+    """Runtime-typed fallback for unknown dataTypes (cluon GenericMessage
+    analogue, reference src/cluon-complete-build.hpp:7245)."""
+    dataType: int = 0
+    values: dict = field(default_factory=dict)

@@ -1,0 +1,82 @@
+"""Typed configuration — every reference CLI flag and magic constant, promoted.
+
+The reference splits configuration between ten CLI flags
+(reference src/opendlv-logic-cfsd18-sensation-slam.cpp:52-55, canonical values
+in usecase/docker-compose.yml:14) and a scatter of hard-coded constants
+(SURVEY.md §5.6). Here everything is one frozen dataclass, hashable so it can
+be a jit static argument. Defaults reproduce the reference usecase deployment.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+from tpuslam import compat
+from tpuslam.backend.graph import GraphCapacity
+
+
+@dataclass(frozen=True)
+class SlamConfig:
+    # --- reference CLI flags (usecase/docker-compose.yml:14) ---
+    cid: int = 111                        # OD4 session id
+    sender_id: int = 120                  # our senderStamp ("--id")
+    detect_cone_id: int = 118             # accept cone msgs from this senderStamp
+    estimation_id: int = 114              # accept pose/yaw msgs from this senderStamp
+    gathering_time_ms: float = 10.0       # cone frame-assembly window
+    same_cone_threshold: float = 1.2      # association gate [m]
+    ref_latitude: float = 57.714787       # WGS84 local-frame origin
+    ref_longitude: float = 11.948313
+    time_between_keyframes_ms: float = 500.0
+    cone_mapping_threshold: float = 50.0  # max range to create a landmark [m]
+    cones_per_packet: int = 20            # cones published per update
+
+    # --- promoted reference constants (SURVEY.md §5.6) ---
+    odo_info: float = compat.REF_ODOMETRY_INFO
+    lm_info: float = compat.REF_LANDMARK_INFO
+    loop_closure_radius: float = compat.REF_LOOP_CLOSURE_RADIUS
+    loop_closure_min_index: int = compat.REF_LOOP_CLOSURE_MIN_INDEX
+    lidar_to_cog: float = compat.REF_LIDAR_TO_COG
+    yaw_rate_scale: float = compat.REF_YAW_RATE_SCALE
+    gn_iterations: int = compat.REF_GN_ITERATIONS
+    gps_outlier_bound: float = compat.REF_GPS_OUTLIER_BOUND
+
+    # --- behavior switches (clean math vs reference-faithful quirks) ---
+    reference_compat: bool = True         # use quirky constants/remaps (tpuslam.compat)
+    association: str = "first"            # 'first' (reference), 'nearest', 'mahalanobis'
+    localizer_type_bug: bool = True       # reference src/slam.cpp:360 signed type compare
+    localizer_refine: bool = False        # pose-only GN in localization mode (improvement)
+    periodic_gn_every: int = 0            # >0: re-optimize every k keyframes (improvement)
+    mahalanobis_gate: float = 9.21        # chi2(2) 99% gate for 'mahalanobis' mode
+    obs_noise_std: float = 0.3            # assumed obs sigma for Mahalanobis covariances
+
+    # --- capacities (static shapes) ---
+    capacity: GraphCapacity = field(default_factory=GraphCapacity)
+    max_obs_per_frame: int = 64           # reference collector is 4x100 (src/slam.cpp:46)
+
+    def with_(self, **kw) -> "SlamConfig":
+        return replace(self, **kw)
+
+    @classmethod
+    def from_cli_args(cls, args: dict) -> "SlamConfig":
+        """Build from reference-style --key=value flags (strings)."""
+        m = {
+            "cid": ("cid", int), "id": ("sender_id", int),
+            "detectConeId": ("detect_cone_id", int),
+            "estimationId": ("estimation_id", int),
+            "gatheringTimeMs": ("gathering_time_ms", float),
+            "sameConeThreshold": ("same_cone_threshold", float),
+            "refLatitude": ("ref_latitude", float),
+            "refLongitude": ("ref_longitude", float),
+            "timeBetweenKeyframes": ("time_between_keyframes_ms", float),
+            "coneMappingThreshold": ("cone_mapping_threshold", float),
+            "conesPerPacket": ("cones_per_packet", int),
+        }
+        kw = {}
+        for k, v in args.items():
+            if k in m:
+                name, conv = m[k]
+                kw[name] = conv(v)
+        return cls(**kw)
+
+    @property
+    def gps_reference(self):
+        return (self.ref_latitude, self.ref_longitude)
