@@ -1,0 +1,90 @@
+"""Sharding tests on the 8-device virtual CPU mesh (conftest forces it).
+
+Validates the distributed-Schur reduction end to end: edge-sharded assembly
+psums to the exact single-device normal equations, and the multi-session path
+matches per-session sequential optimization.
+"""
+import dataclasses
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tpuslam.backend import gauss_newton as gn
+from tpuslam.backend import graph as G
+from tpuslam.geometry import se2
+from tpuslam.parallel import (
+    distributed_optimize, make_slam_mesh, multisession_optimize, stack_graphs,
+)
+
+CAP = G.GraphCapacity(max_poses=32, max_landmarks=16, max_obs=64)
+CFG = gn.GNConfig(iterations=5)
+
+
+def _world(seed=0, n_poses=10, n_lm=6):
+    rng = np.random.default_rng(seed)
+    t = np.linspace(0, 2 * np.pi, n_poses, endpoint=False)
+    gt_poses = np.stack([8 * np.cos(t), 8 * np.sin(t),
+                         np.asarray(se2.wrap_angle(t + np.pi / 2))], axis=1)
+    ang = np.linspace(0, 2 * np.pi, n_lm, endpoint=False)
+    gt_lms = np.stack([10.5 * np.cos(ang), 10.5 * np.sin(ang)], axis=1)
+    g = G.empty_graph(CAP)
+    prev = None
+    for p in gt_poses:
+        p = p + rng.normal(0, 0.1, 3)
+        meas = np.zeros(3) if prev is None else np.asarray(se2.between(prev, p))
+        g = G.add_pose(g, jnp.asarray(p, jnp.float32), jnp.asarray(meas, jnp.float32))
+        prev = p
+    for l in gt_lms:
+        g = G.add_landmark(g, jnp.asarray(l + rng.normal(0, 0.1, 2), jnp.float32),
+                           jnp.int32(1))
+    for i, p in enumerate(gt_poses):
+        for j, l in enumerate(gt_lms):
+            if np.linalg.norm(l - p[:2]) < 7.0:
+                body = np.asarray(se2.transform_to_body(p, l)) + rng.normal(0, 0.05, 2)
+                g = G.add_observation(g, jnp.int32(i), jnp.int32(j),
+                                      jnp.asarray(body, jnp.float32))
+    assert int(g.n_obs) > 8
+    return g
+
+
+def test_mesh_shapes():
+    mesh = make_slam_mesh(n_sessions=2)
+    assert mesh.axis_names == ("sessions", "edges")
+    assert mesh.devices.shape == (2, 4)
+
+
+def test_distributed_matches_single_device():
+    g = _world()
+    mesh = make_slam_mesh(n_sessions=1, n_edge_shards=8)
+    single = gn.optimize(g, CFG)
+    dist = distributed_optimize(g, CFG, mesh)
+    np.testing.assert_allclose(np.asarray(dist.poses), np.asarray(single.poses),
+                               atol=5e-4)
+    np.testing.assert_allclose(np.asarray(dist.lm_xy), np.asarray(single.lm_xy),
+                               atol=5e-4)
+
+
+def test_multisession_matches_sequential():
+    graphs = [_world(seed=s) for s in range(4)]
+    stacked = stack_graphs(graphs)
+    mesh = make_slam_mesh(n_sessions=4, n_edge_shards=2)
+    out = multisession_optimize(stacked, CFG, mesh)
+    for s, g in enumerate(graphs):
+        want = gn.optimize(g, CFG)
+        np.testing.assert_allclose(np.asarray(out.poses[s]), np.asarray(want.poses),
+                                   atol=5e-4, err_msg=f"session {s} poses")
+        np.testing.assert_allclose(np.asarray(out.lm_xy[s]), np.asarray(want.lm_xy),
+                                   atol=5e-4, err_msg=f"session {s} landmarks")
+
+
+def test_multisession_improves_chi2():
+    graphs = [_world(seed=s) for s in range(2)]
+    stacked = stack_graphs(graphs)
+    mesh = make_slam_mesh(n_sessions=2, n_edge_shards=4)
+    out = multisession_optimize(stacked, CFG, mesh)
+    for s, g in enumerate(graphs):
+        before = float(gn.chi2(g, CFG))
+        after = float(gn.chi2(jax.tree.map(lambda x: x[s], out), CFG))
+        assert after < before

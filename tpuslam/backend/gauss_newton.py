@@ -78,50 +78,97 @@ def chi2(g: FactorGraph, cfg: GNConfig):
             + jnp.sum(w_l * jnp.sum(r_l * r_l, -1)))
 
 
-def assemble(g: FactorGraph, cfg: GNConfig):
-    """Build the blocked normal equations.
+def assemble_odometry(g: FactorGraph, cfg: GNConfig):
+    """Odometry-chain contribution: block-tridiagonal Hpp pieces + gradient.
 
-    Returns (Hpp [3P,3P], W [3P,2L], Hll [L,2,2], gp [3P], gl [L,2]).
-    Pure function of the graph arrays; contributions are sums over edges, so
-    edge-sharded partial results psum into the same totals.
+    Returns (h_diag [P,3,3], h_off [P,3,3], gp [P,3]) where h_off[k] is the
+    (k-1, k) super-diagonal block. Pure shifted adds — no scatters: the chain
+    structure is static.
     """
-    cap = g.capacity
-    P, L = cap.max_poses, cap.max_landmarks
+    k = jnp.arange(g.capacity.max_poses)
+    odo_valid = (k >= 1) & (k < g.n_poses)
+    p_prev = g.poses[jnp.maximum(k - 1, 0)]
+    r_o, j_oi, j_oj = odometry_residuals(p_prev, g.poses, g.odo_meas)
     dtype = g.poses.dtype
-    (r_o, j_oi, j_oj, w_o), (r_l, j_lp, j_ll, w_l, pidx, lidx) = _edge_terms(g, cfg)
+    w_o = jnp.asarray(cfg.odo_info, dtype) * odo_valid.astype(dtype)
 
-    hpp = jnp.zeros((3 * P, 3 * P), dtype)
-    gp = jnp.zeros((3 * P,), dtype)
-
-    # --- odometry chain: blocks at (k-1, k-1), (k-1, k), (k, k-1), (k, k)
-    k = jnp.arange(P)
-    rows_i = _block_idx(jnp.maximum(k - 1, 0), 3)
-    rows_j = _block_idx(k, 3)
     w3 = w_o[:, None, None]
     jti = jnp.swapaxes(j_oi, -1, -2)
     jtj = jnp.swapaxes(j_oj, -1, -2)
-    hpp = hpp.at[rows_i[:, :, None], rows_i[:, None, :]].add(w3 * (jti @ j_oi))
-    hpp = hpp.at[rows_i[:, :, None], rows_j[:, None, :]].add(w3 * (jti @ j_oj))
-    hpp = hpp.at[rows_j[:, :, None], rows_i[:, None, :]].add(w3 * (jtj @ j_oi))
-    hpp = hpp.at[rows_j[:, :, None], rows_j[:, None, :]].add(w3 * (jtj @ j_oj))
-    gp = gp.at[rows_i].add(w_o[:, None] * (jti @ r_o[..., None])[..., 0])
-    gp = gp.at[rows_j].add(w_o[:, None] * (jtj @ r_o[..., None])[..., 0])
+    a_ii = w3 * (jti @ j_oi)   # contribution of edge k to block (k-1, k-1)
+    a_jj = w3 * (jtj @ j_oj)   # ... to block (k, k)
+    h_off = w3 * (jti @ j_oj)  # ... to block (k-1, k)
+    g_i = w_o[:, None] * (jti @ r_o[..., None])[..., 0]
+    g_j = w_o[:, None] * (jtj @ r_o[..., None])[..., 0]
 
-    # --- landmark observation edges
-    rows_p = _block_idx(pidx, 3)
-    cols_l = _block_idx(lidx, 2)
+    h_diag = a_jj.at[:-1].add(a_ii[1:])
+    gp = g_j.at[:-1].add(g_i[1:])
+    return h_diag, h_off, gp
+
+
+def landmark_edge_blocks(poses, lm_xy, obs_pose, obs_lm, obs_xy, w_l, n_landmarks):
+    """Landmark-edge contribution from an (arbitrary shard of the) edge list.
+
+    Returns (h_diag_lm [P,3,3], w_mat [3P,2L], hll [L,2,2], gp_lm [P,3],
+    gl [L,2]). All outputs are sums over the given edges, so shard-local
+    results from an edge-sharded mesh psum into the full-graph totals —
+    this is the distributed-Schur building block (SURVEY.md §2.4).
+    """
+    P = poses.shape[0]
+    L = n_landmarks
+    dtype = poses.dtype
+    r_l, j_lp, j_ll = landmark_residuals(poses[obs_pose], lm_xy[obs_lm], obs_xy)
+
     wl3 = w_l[:, None, None]
     jtp = jnp.swapaxes(j_lp, -1, -2)   # [E, 3, 2]
-    hpp = hpp.at[rows_p[:, :, None], rows_p[:, None, :]].add(wl3 * (jtp @ j_lp))
-    gp = gp.at[rows_p].add(w_l[:, None] * (jtp @ r_l[..., None])[..., 0])
+    h_diag_lm = jax.ops.segment_sum(wl3 * (jtp @ j_lp), obs_pose, num_segments=P)
+    gp_lm = jax.ops.segment_sum(w_l[:, None] * (jtp @ r_l[..., None])[..., 0],
+                                obs_pose, num_segments=P)
 
+    rows_p = _block_idx(obs_pose, 3)
+    cols_l = _block_idx(obs_lm, 2)
     w_mat = jnp.zeros((3 * P, 2 * L), dtype)
     w_mat = w_mat.at[rows_p[:, :, None], cols_l[:, None, :]].add(wl3 * (jtp @ j_ll))
 
     jtl = jnp.swapaxes(j_ll, -1, -2)
-    hll = jax.ops.segment_sum(wl3 * (jtl @ j_ll), lidx, num_segments=L)
+    hll = jax.ops.segment_sum(wl3 * (jtl @ j_ll), obs_lm, num_segments=L)
     gl = jax.ops.segment_sum(w_l[:, None] * (jtl @ r_l[..., None])[..., 0],
-                             lidx, num_segments=L)
+                             obs_lm, num_segments=L)
+    return h_diag_lm, w_mat, hll, gp_lm, gl
+
+
+def densify_hpp(h_diag, h_off):
+    """(P,3,3) diagonal + (P,3,3) super-diagonal blocks -> dense [3P,3P].
+
+    Disjoint-index scatters only (one slot per block) — cheap on TPU.
+    """
+    P = h_diag.shape[0]
+    k = jnp.arange(P)
+    h4 = jnp.zeros((P, 3, P, 3), h_diag.dtype)
+    h4 = h4.at[k, :, k, :].set(h_diag)
+    km = jnp.maximum(k - 1, 0)
+    # guard k=0: its h_off block is zero-weight by construction
+    h4 = h4.at[km, :, k, :].add(h_off)
+    h4 = h4.at[k, :, km, :].add(jnp.swapaxes(h_off, -1, -2))
+    return h4.reshape(3 * P, 3 * P)
+
+
+def assemble(g: FactorGraph, cfg: GNConfig):
+    """Build the blocked normal equations.
+
+    Returns (Hpp [3P,3P], W [3P,2L], Hll [L,2,2], gp [3P], gl [L,2]).
+    Pure function of the graph arrays; the landmark-edge part is a sum over
+    edges, so edge-sharded partial results psum into the same totals.
+    """
+    cap = g.capacity
+    h_diag, h_off, gp_o = assemble_odometry(g, cfg)
+    w_l = (jnp.asarray(cfg.lm_info, g.poses.dtype)
+           * g.obs_valid.astype(g.poses.dtype))
+    h_diag_lm, w_mat, hll, gp_lm, gl = landmark_edge_blocks(
+        g.poses, g.lm_xy, g.obs_pose, g.obs_lm, g.obs_xy, w_l,
+        cap.max_landmarks)
+    hpp = densify_hpp(h_diag + h_diag_lm, h_off)
+    gp = (gp_o + gp_lm).reshape(-1)
     return hpp, w_mat, hll, gp, gl
 
 

@@ -1,0 +1,37 @@
+"""Whole-sequence device pipeline: lax.scan over keyframes.
+
+For replay/benchmark workloads the entire lap is known up front, so instead
+of one host dispatch per keyframe the whole sequence runs as a single XLA
+program: `run_sequence` scans `perform_keyframe` over the frame axis. This is
+the speed-of-light configuration for the throughput benchmarks (no host in
+the loop at all); the live service uses the per-frame entry point instead.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from tpuslam.frontend.keyframe import KeyframeOutputs, perform_keyframe
+from tpuslam.frontend.state import SlamState
+from tpuslam.runtime.config import SlamConfig
+
+__all__ = ["run_sequence"]
+
+
+@partial(jax.jit, static_argnames="cfg", donate_argnames="state")
+def run_sequence(state: SlamState, obs_seq, valid_seq, pose_seq,
+                 cfg: SlamConfig):
+    """Process T keyframes in one compiled scan.
+
+    obs_seq [T, N, 4], valid_seq [T, N], pose_seq [T, 3] (odometry poses,
+    already heading-corrected). Returns (final_state, stacked KeyframeOutputs).
+    """
+    def step(state, frame):
+        obs, valid, pose = frame
+        # inline the wrapped function to keep one jit layer
+        new_state, out = perform_keyframe.__wrapped__(state, obs, valid, pose, cfg)
+        return new_state, out
+
+    return jax.lax.scan(step, state, (obs_seq, valid_seq, pose_seq))
