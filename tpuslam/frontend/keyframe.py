@@ -58,6 +58,142 @@ def _body_xy(ob, cfg: SlamConfig):
     return xyz[..., :2]
 
 
+def _prefix_argmin_exclusive(vals, idxs):
+    """Running (min, argmin) over k < i, ties keeping the earliest — the
+    vectorized form of the reference's `if (d < minDistance)` loop carry."""
+    def op(a, b):
+        va, ia = a
+        vb, ib = b
+        take_b = vb < va
+        return (jnp.where(take_b, vb, va), jnp.where(take_b, ib, ia))
+
+    mv, mi = jax.lax.associative_scan(op, (vals, idxs))
+    big = jnp.full((1,), jnp.inf, vals.dtype)
+    neg = jnp.full((1,), -1, idxs.dtype)
+    return (jnp.concatenate([big, mv[:-1]]), jnp.concatenate([neg, mi[:-1]]))
+
+
+def _mapping_step_vectorized(state: SlamState, obs, obs_valid, pose, pose_idx,
+                             cfg: SlamConfig):
+    """Batched mapping-mode update — exactly the reference's sequential
+    semantics (src/slam.cpp:552-635) re-expressed as vector ops.
+
+    The per-observation while-loop becomes one (N x M) gated cost matrix; the
+    in-frame running state (currentConeIndex, loop-closure trigger, map
+    growth) becomes prefix scans over the observation axis:
+    - currentConeIndex evolution  -> exclusive prefix-argmin of ranges,
+    - loop-closure suppression    -> exclusive prefix-or of closure hits,
+    - in-frame duplicate merging  -> first-representative fixpoint over the
+      (N x N) same-frame gate matrix (depth-8; physical cone layouts have
+      depth <= 1),
+    and the edge list grows by one contiguous block write instead of N
+    scatters. See `_mapping_step` for the scan-based form this is verified
+    against (tests/test_vectorized_equivalence.py).
+    """
+    g = state.graph
+    thresh2 = cfg.same_cone_threshold * cfg.same_cone_threshold
+    n = obs.shape[0]
+    cap_l = g.lm_xy.shape[0]
+    cap_e = g.obs_pose.shape[0]
+
+    # Bootstrap (reference src/slam.cpp:554-567), as in the sequential path.
+    glob_all = jax.vmap(lambda ob: cone_to_global(
+        pose, ob[0], ob[1], ob[2], cfg.lidar_to_cog, cfg.reference_compat))(obs)
+    body_all = _body_xy(obs, cfg)
+    boot = (g.n_landmarks == 0) & obs_valid[0]
+    g = G.add_landmark(g, glob_all[0], obs[0, 3].astype(jnp.int32), enable=boot)
+    g = G.add_observation(g, pose_idx, jnp.int32(0), body_all[0], enable=boot)
+
+    otype = obs[:, 3].astype(jnp.int32)
+    d2car = obs[:, 2]
+
+    # --- phase A: association against the pre-frame map (N x M)
+    diff = glob_all[:, None, :] - g.lm_xy[None, :, :]
+    d2 = jnp.sum(diff * diff, axis=-1)
+    ok = ((g.lm_type[None, :] == otype[:, None]) & g.lm_valid[None, :]
+          & (d2 < thresh2) & obs_valid[:, None])
+    if cfg.association == "first":
+        j = jnp.argmax(ok, axis=1).astype(jnp.int32)
+    else:
+        j = jnp.argmin(jnp.where(ok, d2, 1e30), axis=1).astype(jnp.int32)
+    matched0 = jnp.any(ok, axis=1)
+
+    # --- in-frame sequential state as prefix scans
+    vals = jnp.where(matched0, d2car, jnp.inf)
+    pm, pi = _prefix_argmin_exclusive(vals, jnp.arange(n, dtype=jnp.int32))
+    cur_before = jnp.where(pm < 100.0, j[jnp.maximum(pi, 0)],
+                           state.current_cone_index)
+
+    dfirst2 = jnp.sum((g.lm_xy[j] - g.lm_xy[0]) ** 2, axis=-1)
+    closure0 = (matched0 & (dfirst2 < cfg.loop_closure_radius ** 2)
+                & (cur_before > cfg.loop_closure_min_index)
+                & (d2car < cfg.cone_mapping_threshold))
+    closed_before = state.loop_closing | \
+        ((jnp.cumsum(closure0) - closure0.astype(jnp.int32)) > 0)
+    closing = state.loop_closing | jnp.any(closure0)
+
+    matched = matched0 & ~closed_before
+
+    # --- phase B: new landmarks with in-frame duplicate merging
+    cand = obs_valid & ~matched0 & ~closed_before & \
+        (d2car < cfg.cone_mapping_threshold)
+    gd = glob_all[:, None, :] - glob_all[None, :, :]
+    gd2 = jnp.sum(gd * gd, axis=-1)
+    lower = jnp.arange(n)[:, None] > jnp.arange(n)[None, :]   # k < i
+    gsame = (otype[:, None] == otype[None, :]) & (gd2 < thresh2) & lower
+    is_new = cand
+    for _ in range(8):  # first-representative fixpoint (chain depth <= 8)
+        dup_of_new = jnp.any(gsame & is_new[None, :], axis=1)
+        is_new = cand & ~dup_of_new
+    rep_ok = gsame & is_new[None, :]
+    rep = jnp.argmax(rep_ok, axis=1).astype(jnp.int32)
+    is_dup = cand & jnp.any(rep_ok, axis=1)
+
+    new_rank = jnp.cumsum(is_new.astype(jnp.int32)) - is_new.astype(jnp.int32)
+    slot_self = g.n_landmarks + new_rank
+    slot = jnp.where(is_new, slot_self, slot_self[rep])      # dup -> rep's slot
+    slot_ok = slot < cap_l
+
+    # landmark writes (disjoint slots; OOB dropped)
+    scatter_to = jnp.where(is_new & slot_ok, slot, cap_l)
+    g = dataclasses.replace(
+        g,
+        lm_xy=g.lm_xy.at[scatter_to].set(glob_all, mode="drop"),
+        lm_type=g.lm_type.at[scatter_to].set(otype, mode="drop"),
+        n_landmarks=jnp.minimum(g.n_landmarks + jnp.sum(is_new), cap_l),
+    )
+
+    # currentConeIndex: in the reference only *matches* update it; new-cone
+    # insertions do not. Duplicate observations (two detections of one cone
+    # in one frame) run the match branch sequentially, so fold them in.
+    target = jnp.where(matched, j, slot)
+    cur_cand = matched | (is_dup & slot_ok)
+    vals_f = jnp.where(cur_cand, d2car, jnp.inf)
+    best = jnp.argmin(vals_f)
+    cur = jnp.where(vals_f[best] < 100.0, target[best], state.current_cone_index)
+
+    # --- contiguous edge-block append (keeps reference insertion order)
+    keep = matched | ((is_new | is_dup) & slot_ok)
+    perm = jnp.argsort(~keep, stable=True)
+    base = jnp.minimum(g.n_obs, cap_e - n)
+    g = dataclasses.replace(
+        g,
+        obs_pose=jax.lax.dynamic_update_slice(
+            g.obs_pose, jnp.full((n,), pose_idx, jnp.int32), (base,)),
+        obs_lm=jax.lax.dynamic_update_slice(g.obs_lm, target[perm], (base,)),
+        obs_xy=jax.lax.dynamic_update_slice(g.obs_xy, body_all[perm], (base, 0)),
+        n_obs=jnp.minimum(g.n_obs + jnp.sum(keep), cap_e),
+    )
+
+    do_opt = closing & ~state.loop_closure_complete
+    g = jax.lax.cond(do_opt, lambda gg: gn.optimize(gg, _gn_config(cfg)),
+                     lambda gg: gg, g)
+    return dataclasses.replace(
+        state, graph=g, current_cone_index=cur, loop_closing=closing,
+        loop_closure_complete=state.loop_closure_complete | closing,
+    ), do_opt
+
+
 def _mapping_step(state: SlamState, obs, obs_valid, pose, pose_idx, cfg: SlamConfig):
     """Reference-faithful mapping-mode update (src/slam.cpp:552-635)."""
     g = state.graph
@@ -225,7 +361,9 @@ def perform_keyframe(state: SlamState, obs, obs_valid, pose, cfg: SlamConfig):
                                     keyframe_count=state.keyframe_count + 1)
 
         def mapping(state):
-            st, closed = _mapping_step(state, obs, obs_valid, pose, pose_idx, cfg)
+            step = (_mapping_step_vectorized if cfg.vectorized_mapping
+                    else _mapping_step)
+            st, closed = step(state, obs, obs_valid, pose, pose_idx, cfg)
             return st, pose, closed, jnp.asarray(False)
 
         def localization(state):
