@@ -54,16 +54,35 @@ class Slam:
         self._frame_open = False
         self._frame_start_us = 0
         self._last_cone_us = 0
+        # odometry snapshot for the open frame: the reference samples
+        # m_odometryData at the END of the gathering window (src/slam.cpp:
+        # 304-307); in sample-time terms that is the latest odometry whose
+        # sample time falls inside the window, NOT whatever arrives later in
+        # file order — crucial for deterministic as-fast-as-possible replay.
+        self._frame_pose = np.zeros(3)
+        self._frame_yaw_rate = 0.0
+        self._frame_yaw_us = 0
         self._keyframe_us: Optional[int] = None
         self.last_outputs = None
         self.keyframes_processed = 0
 
     # ------------------------------------------------------------ ingest API
+    def _in_gathering_window(self, sample_us: int) -> bool:
+        return self._frame_open and \
+            sample_us <= self._frame_start_us + self.cfg.gathering_time_ms * 1000
+
+    def _sync_frame_snapshot(self, sample_us: int):
+        if self._in_gathering_window(sample_us):
+            self._frame_pose[:] = self._odometry
+            self._frame_yaw_rate = self._yaw_rate
+            self._frame_yaw_us = self._yaw_received_us
+
     def next_pose(self, msg: M.Geolocation, sample_us: int):
         """Fused Geolocation odometry (reference src/slam.cpp:186-210)."""
         self._geolocation_received_us = sample_us
         xy = wgs84.to_cartesian(self._gps_ref, np.array([msg.latitude, msg.longitude]))
         self._odometry[:] = (xy[0], xy[1], msg.heading)
+        self._sync_frame_snapshot(sample_us)
 
     def next_split_pose(self, msg, sample_us: int):
         """Split GPS / heading messages (reference src/slam.cpp:154-184)."""
@@ -78,11 +97,13 @@ class Slam:
             self._odometry[2] = h
         else:
             raise TypeError(f"unexpected split-pose message {type(msg)}")
+        self._sync_frame_snapshot(sample_us)
 
     def next_yaw_rate(self, msg: M.AngularVelocityReading, sample_us: int):
         """IMU yaw rate, pre-scaled like the reference (src/slam.cpp:212-219)."""
         self._yaw_rate = msg.angularVelocityZ * self.cfg.yaw_rate_scale
         self._yaw_received_us = sample_us
+        self._sync_frame_snapshot(sample_us)
 
     def next_cone(self, msg, sample_us: int):
         """Interleaved ObjectDirection/Distance/Type accumulation
@@ -94,6 +115,9 @@ class Slam:
         if not self._frame_open:
             self._frame_open = True
             self._frame_start_us = sample_us
+            self._frame_pose[:] = self._odometry
+            self._frame_yaw_rate = self._yaw_rate
+            self._frame_yaw_us = self._yaw_received_us
         oid = msg.objectId
         if oid >= COLLECTOR_CAPACITY:
             return
@@ -124,7 +148,10 @@ class Slam:
         self._frame_open = False
         if n > 0 and self._is_keyframe(self._last_cone_us):
             valid = np.ones(n, dtype=bool)
-            self.process_frame(obs, valid, self._last_cone_us)
+            self.process_frame(obs, valid, self._last_cone_us,
+                               pose_override=self._frame_pose.copy(),
+                               yaw_override=(self._frame_yaw_rate,
+                                             self._frame_yaw_us))
 
     def _is_keyframe(self, now_us: int) -> bool:
         """Sample-time keyframe gate (reference src/slam.cpp:286-295)."""
@@ -134,7 +161,8 @@ class Slam:
             return True
         return False
 
-    def process_frame(self, obs: np.ndarray, valid: np.ndarray, sample_us: int):
+    def process_frame(self, obs: np.ndarray, valid: np.ndarray, sample_us: int,
+                      pose_override=None, yaw_override=None):
         """Run one keyframe update on an assembled observation frame.
 
         obs [n, 4] rows of (azimuth_deg, zenith_deg, distance, type).
@@ -148,11 +176,13 @@ class Slam:
         obs_pad[:n] = obs[:n]
         valid_pad[:n] = valid[:n]
 
-        pose = self._odometry.copy()
+        pose = (self._odometry if pose_override is None else pose_override).copy()
+        yaw_rate, yaw_us = ((self._yaw_rate, self._yaw_received_us)
+                            if yaw_override is None else yaw_override)
         # yaw-rate heading correction (reference src/slam.cpp:309-317)
-        dt = abs(self._yaw_received_us - sample_us) / 1e6
+        dt = abs(yaw_us - sample_us) / 1e6
         if 0.0 < dt < 1.0:
-            pose[2] -= self._yaw_rate * dt
+            pose[2] -= yaw_rate * dt
 
         self.state, outputs = perform_keyframe(
             self.state, jnp.asarray(obs_pad), jnp.asarray(valid_pad),

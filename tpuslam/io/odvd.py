@@ -1,0 +1,83 @@
+"""Minimal .odvd message-specification parser.
+
+The reference embeds a full PEG parser + mustache codegen (`cluon-msc`,
+reference src/cluon-complete-build.hpp:4716-5011, 14067-15825) to turn the
+ODVD DSL into C++ classes at build time. We keep `.odvd` as the schema source
+of truth but parse it directly at runtime into field-spec tables compatible
+with tpuslam.io.proto — no codegen step.
+
+Grammar subset (all the standard message set uses):
+    message <dotted.name> [id = N] {
+        <type> <fieldName> [id = M];
+        ...
+    }
+"""
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field, make_dataclass
+from typing import ClassVar
+
+from tpuslam.io import messages as M
+
+_TYPE_MAP = {
+    "bool": (M.VARINT_UNSIGNED, False),
+    "char": (M.VARINT_SIGNED, 0),
+    "int8": (M.VARINT_SIGNED, 0), "uint8": (M.VARINT_UNSIGNED, 0),
+    "int16": (M.VARINT_SIGNED, 0), "uint16": (M.VARINT_UNSIGNED, 0),
+    "int32": (M.VARINT_SIGNED, 0), "uint32": (M.VARINT_UNSIGNED, 0),
+    "int64": (M.VARINT_SIGNED, 0), "uint64": (M.VARINT_UNSIGNED, 0),
+    "float": (M.FLOAT, 0.0), "double": (M.DOUBLE, 0.0),
+    "string": (M.STRING, b""), "bytes": (M.STRING, b""),
+}
+
+_MSG_RE = re.compile(
+    r"message\s+([\w.]+)\s*\[\s*id\s*=\s*(\d+)\s*[^\]]*\]\s*\{([^}]*)\}",
+    re.MULTILINE)
+_FIELD_RE = re.compile(
+    r"(\w+)\s+(\w+)\s*\[\s*(?:default\s*=\s*[^,\]]+\s*,\s*)?id\s*=\s*(\d+)\s*[^\]]*\]\s*;")
+
+
+@dataclass
+class MessageSpec:
+    name: str
+    ident: int
+    fields: list  # (field_id, wire_kind, field_name, None)
+
+
+def parse_odvd(text: str) -> list[MessageSpec]:
+    text = re.sub(r"//[^\n]*", "", text)  # strip comments
+    specs = []
+    for m in _MSG_RE.finditer(text):
+        name, ident, body = m.group(1), int(m.group(2)), m.group(3)
+        fields = []
+        for f in _FIELD_RE.finditer(body):
+            ftype, fname, fid = f.group(1), f.group(2), int(f.group(3))
+            if ftype not in _TYPE_MAP:
+                continue  # nested message types unsupported in the subset
+            kind, _default = _TYPE_MAP[ftype]
+            fields.append((fid, kind, fname, None))
+        specs.append(MessageSpec(name=name, ident=ident, fields=fields))
+    return specs
+
+
+def build_message_classes(specs: list[MessageSpec], register: bool = False):
+    """Materialize proto-codable dataclasses from parsed specs."""
+    out = {}
+    for s in specs:
+        cls_fields = []
+        for fid, kind, fname, _ in s.fields:
+            default = {M.FLOAT: 0.0, M.DOUBLE: 0.0, M.STRING: b""}.get(kind, 0)
+            cls_fields.append((fname, object, field(default=default)))
+        cls = make_dataclass(s.name.split(".")[-1], cls_fields,
+                             namespace={"ID": s.ident, "FIELDS": s.fields,
+                                        "LONG_NAME": s.name})
+        out[s.name] = cls
+        if register:
+            M.MESSAGE_REGISTRY.setdefault(s.ident, cls)
+    return out
+
+
+def load_standard_message_set(path: str, register: bool = True):
+    with open(path) as f:
+        return build_message_classes(parse_odvd(f.read()), register=register)
