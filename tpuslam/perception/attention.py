@@ -1,0 +1,157 @@
+"""Cone detection from lidar point clouds — the "attention" front-end.
+
+The reference pipeline's cone detector is the sibling
+`cfsd18-sensation-attention` microservice (its full parameterization is
+preserved in reference usecase/docker-compose.yml:34: ROI boundaries, RANSAC
+ground plane with dot/inlier thresholds and 10 iterations, connected
+clustering at 0.4 m, 2..80 points per cone, near/far radius and z-range
+validation). That service is CPU C++ with sequential region growing; this is
+the TPU-native redesign:
+
+- ROI + ground removal as masked vector ops.
+- RANSAC ground plane: all hypotheses evaluated at once (iterations x N
+  point-plane distances — one matmul-shaped reduction instead of a loop).
+- Clustering: connected components via min-label propagation over the radius
+  graph — an (N x N) adjacency and a handful of masked-min iterations, the
+  vectorized equivalent of BFS region growing.
+- Cluster statistics/validation via segment reductions.
+
+Everything is fixed-shape jnp and jit-compatible; point capacity is the
+static bound (pad + mask).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["AttentionConfig", "detect_cones"]
+
+
+@dataclass(frozen=True)
+class AttentionConfig:
+    # defaults = reference usecase/docker-compose.yml:34 flags
+    x_boundary: float = 4.0            # lateral half-width of ROI [m]
+    y_boundary: float = 12.0           # forward extent of ROI [m]
+    ground_layer_z: float = -0.3       # fallback ground height [m]
+    cone_height: float = 0.5
+    connect_distance_threshold: float = 0.4
+    min_points: int = 2
+    max_points: int = 80
+    far_cone_radius: float = 0.2
+    near_cone_radius: float = 0.25
+    near_range: float = 6.0            # near/far split for radius gating
+    z_range_threshold: float = 0.08    # unused spare from the reference set
+    inlier_range_threshold: float = 0.06
+    dot_threshold: float = 0.1         # |normal x z| tolerance
+    inlier_found_threshold: int = 150
+    ransac_iterations: int = 10
+    label_iterations: int = 16         # min-label propagation rounds
+    max_cones: int = 64
+    sensor_height: float = 0.0         # sensor z above ground
+
+
+def _ransac_ground(points, valid, cfg: AttentionConfig, key):
+    """Vectorized RANSAC plane fit; returns signed height above ground [N]."""
+    n = points.shape[0]
+    iters = cfg.ransac_iterations
+    idx = jax.random.randint(key, (iters, 3), 0, n)
+    tri = points[idx]                                  # [I, 3, 3]
+    v1 = tri[:, 1] - tri[:, 0]
+    v2 = tri[:, 2] - tri[:, 0]
+    normal = jnp.cross(v1, v2)
+    norm = jnp.linalg.norm(normal, axis=-1, keepdims=True)
+    normal = normal / jnp.maximum(norm, 1e-9)
+    # plane must be near-horizontal (reference dotThreshold)
+    horiz = jnp.abs(normal[:, 2]) > (1.0 - cfg.dot_threshold)
+    d = -jnp.sum(normal * tri[:, 0], axis=-1)          # [I]
+    dist = jnp.abs(points @ normal.T + d[None, :])     # [N, I]
+    inliers = jnp.sum((dist < cfg.inlier_range_threshold) & valid[:, None],
+                      axis=0)
+    score = jnp.where(horiz, inliers, -1)
+    best = jnp.argmax(score)
+    ok = score[best] >= cfg.inlier_found_threshold
+    sign = jnp.sign(normal[best, 2])
+    height_plane = (points @ normal[best] + d[best]) * sign
+    height_flat = points[:, 2] - cfg.ground_layer_z
+    return jnp.where(ok, height_plane, height_flat)
+
+
+def _connected_components(points_xy, valid, cfg: AttentionConfig):
+    """Min-label propagation over the radius graph -> root labels [N]."""
+    n = points_xy.shape[0]
+    d = points_xy[:, None, :] - points_xy[None, :, :]
+    d2 = jnp.sum(d * d, axis=-1)
+    thr2 = cfg.connect_distance_threshold ** 2
+    adj = (d2 < thr2) & valid[:, None] & valid[None, :]
+    labels = jnp.where(valid, jnp.arange(n), n)
+
+    def body(_, lab):
+        neigh = jnp.where(adj, lab[None, :], n)
+        return jnp.minimum(lab, jnp.min(neigh, axis=1))
+
+    return jax.lax.fori_loop(0, cfg.label_iterations, body, labels)
+
+
+@partial(jax.jit, static_argnames="cfg")
+def detect_cones(points, valid, cfg: AttentionConfig, seed=0, intensity=None):
+    """Point cloud [N,3] (sensor frame: x fwd, y left, z up) -> cone tuples.
+
+    Returns (cones [K,4] = (azimuth_deg, zenith_deg, distance_m, type),
+    cone_valid [K], n_cones). Types come from mean cluster intensity via the
+    convention type=round(intensity/10) (a stand-in classifier — the real
+    CFSD18 color classification lived in a separate vision service); 0 when
+    no intensity is given.
+    """
+    n = points.shape[0]
+    key = jax.random.PRNGKey(seed)
+
+    roi = (valid
+           & (jnp.abs(points[:, 1]) <= cfg.x_boundary)
+           & (points[:, 0] > 0.1) & (points[:, 0] <= cfg.y_boundary))
+    height = _ransac_ground(points, roi, cfg, key)
+    obstacle = roi & (height > cfg.inlier_range_threshold) & \
+        (height < cfg.cone_height + 0.3)
+
+    labels = _connected_components(points[:, :2], obstacle, cfg)
+
+    w = obstacle.astype(points.dtype)
+    counts = jax.ops.segment_sum(w, labels, num_segments=n + 1)[:n]
+    sums = jax.ops.segment_sum(points * w[:, None], labels,
+                               num_segments=n + 1)[:n]
+    safe = jnp.maximum(counts, 1.0)
+    centroid = sums / safe[:, None]
+
+    # xy scatter radius per cluster
+    dxy = points[:, :2] - centroid[labels.clip(0, n - 1), :2]
+    r2 = jnp.sum(dxy * dxy, axis=-1) * w
+    rmax2 = jax.ops.segment_max(jnp.where(obstacle, r2, -1.0), labels,
+                                num_segments=n + 1)[:n]
+
+    is_root = counts > 0
+    dist = jnp.linalg.norm(centroid[:, :2], axis=-1)
+    r_gate = jnp.where(dist < cfg.near_range, cfg.near_cone_radius,
+                       cfg.far_cone_radius)
+    good = (is_root
+            & (counts >= cfg.min_points) & (counts <= cfg.max_points)
+            & (rmax2 <= r_gate ** 2))
+
+    # rank clusters by distance, take the first max_cones
+    order = jnp.argsort(jnp.where(good, dist, jnp.inf))
+    k = cfg.max_cones
+    sel = order[:k]
+    sel_good = good[sel]
+    c = centroid[sel]
+    az = jnp.degrees(jnp.arctan2(c[:, 1], c[:, 0]))
+    rng = jnp.linalg.norm(c, axis=-1)
+    zen = jnp.degrees(jnp.arcsin(jnp.clip((c[:, 2] + cfg.sensor_height)
+                                          / jnp.maximum(rng, 1e-6), -1, 1)))
+    if intensity is not None:
+        isum = jax.ops.segment_sum(intensity * w, labels, num_segments=n + 1)[:n]
+        ctype = jnp.round(isum[sel] / jnp.maximum(counts[sel], 1.0) / 10.0)
+    else:
+        ctype = jnp.zeros(k, points.dtype)
+    cones = jnp.stack([az, zen, rng, ctype], axis=-1)
+    return cones, sel_good, jnp.sum(sel_good.astype(jnp.int32))

@@ -1,0 +1,94 @@
+"""Synthetic VLP-16 scenes: ground + cone point clusters -> clouds/packets.
+
+Closes the loop for the raw-lidar eval config (BASELINE.json config 4): a
+cone scene renders to a simulated VLP-16 sweep (or encoded packets), the
+perception front-end re-detects the cones, and the detections feed the
+normal SLAM ingest path.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from tpuslam.perception import vlp16
+
+CONE_BASE_RADIUS = 0.114  # FSG small cone: 228 mm square base
+CONE_HEIGHT = 0.325
+
+
+@dataclass
+class Vlp16SceneConfig:
+    sensor_height: float = 0.9         # lidar above ground [m]
+    ground_points: int = 1500
+    points_per_cone: int = 40
+    ground_extent: float = 14.0
+    noise: float = 0.01
+    intensity_type_scale: float = 10.0  # intensity = type * scale
+    seed: int = 0
+
+
+def render_scene(cones_xy: np.ndarray, cones_type: np.ndarray,
+                 cfg: Vlp16SceneConfig = Vlp16SceneConfig()):
+    """Cones in the sensor xy frame -> (points [N,3], intensity [N]).
+
+    z = 0 at the ground; the sensor sits at z = sensor_height, so points are
+    returned in the sensor frame (z shifted down by sensor_height).
+    """
+    rng = np.random.default_rng(cfg.seed)
+    pts = []
+    inten = []
+
+    g = rng.uniform([-2.0, -cfg.ground_extent / 2, 0],
+                    [cfg.ground_extent, cfg.ground_extent / 2, 0],
+                    (cfg.ground_points, 3))
+    g[:, 2] = rng.normal(0, cfg.noise, cfg.ground_points)
+    pts.append(g)
+    inten.append(np.full(cfg.ground_points, 1.0))
+
+    for (cx, cy), ct in zip(cones_xy, cones_type):
+        k = cfg.points_per_cone
+        h = rng.uniform(0.02, CONE_HEIGHT, k)
+        r = CONE_BASE_RADIUS * (1.0 - h / CONE_HEIGHT) + 0.01
+        phi = rng.uniform(0, 2 * np.pi, k)
+        c = np.stack([cx + r * np.cos(phi), cy + r * np.sin(phi), h], axis=1)
+        c += rng.normal(0, cfg.noise, c.shape)
+        pts.append(c)
+        inten.append(np.full(k, ct * cfg.intensity_type_scale))
+
+    points = np.vstack(pts)
+    points[:, 2] -= cfg.sensor_height  # into the sensor frame
+    return points, np.concatenate(inten)
+
+
+def scene_to_packets(points: np.ndarray, cfg: Vlp16SceneConfig = Vlp16SceneConfig()):
+    """Quantize a scene onto the VLP-16 beam pattern and emit packets.
+
+    Projects each point to (azimuth, nearest beam elevation, range) and fills
+    per-(azimuth-step, beam) range images; azimuth step 0.2 deg.
+    """
+    az = np.degrees(np.arctan2(-points[:, 1], points[:, 0])) % 360.0
+    rng_d = np.linalg.norm(points, axis=1)
+    el = np.degrees(np.arcsin(np.clip(points[:, 2] / np.maximum(rng_d, 1e-9),
+                                      -1, 1)))
+    beam = np.argmin(np.abs(el[:, None] - vlp16.VLP16_ELEVATIONS_DEG[None, :]),
+                     axis=1)
+    step = 0.2
+    col = (az / step).astype(int) % int(360 / step)
+    n_cols = int(360 / step)
+    image = np.zeros((n_cols, 16))
+    for c, b, d in zip(col, beam, rng_d):
+        if image[c, b] == 0 or d < image[c, b]:
+            image[c, b] = d
+
+    packets = []
+    cols_per_packet = 24
+    for c0 in range(0, n_cols, cols_per_packet):
+        block = image[c0:c0 + cols_per_packet]
+        if block.shape[0] < cols_per_packet:
+            pad = np.zeros((cols_per_packet - block.shape[0], 16))
+            block = np.vstack([block, pad])
+        azs = ((c0 + np.arange(cols_per_packet)) * step) % 360.0
+        packets.append(vlp16.encode_packet(
+            np.repeat(azs[:, None], 16, axis=1), block))
+    return packets
