@@ -1,0 +1,244 @@
+"""slamctl — the framework's operational CLI.
+
+Subcommands cover the reference's whole ops surface (SURVEY.md §2.2's
+embedded cluon tools + the service main):
+  run      live OD4 microservice (reference main, src/opendlv-logic-...cpp)
+  replay   drive the engine from a .rec recording (cluon-replay equivalent)
+  sim      synthetic track run: generate, process, report ATE / write .rec
+  bench    the benchmark suite (same JSON line as bench.py)
+  export   .rec -> CSV / JSON-lines (cluon-rec2csv / EnvelopeConverter)
+  monitor  live bus message-rate monitor (cluon-livefeed equivalent)
+  viz      render map/trajectory/graph from a checkpoint to PNG
+"""
+from __future__ import annotations
+
+import argparse
+import asyncio
+import json
+import sys
+import time
+from collections import Counter
+
+
+def _add_reference_flags(p: argparse.ArgumentParser):
+    """The reference's CLI flags, same names (src/...-slam.cpp:55)."""
+    p.add_argument("--cid", type=int, default=111)
+    p.add_argument("--id", type=int, default=120)
+    p.add_argument("--detectConeId", type=int, default=118)
+    p.add_argument("--estimationId", type=int, default=114)
+    p.add_argument("--gatheringTimeMs", type=float, default=10)
+    p.add_argument("--sameConeThreshold", type=float, default=1.2)
+    p.add_argument("--refLatitude", type=float, default=57.714787)
+    p.add_argument("--refLongitude", type=float, default=11.948313)
+    p.add_argument("--timeBetweenKeyframes", type=float, default=500)
+    p.add_argument("--coneMappingThreshold", type=float, default=50)
+    p.add_argument("--conesPerPacket", type=int, default=20)
+    p.add_argument("--no-compat", action="store_true",
+                   help="disable reference-compat quirks (clean math mode)")
+    p.add_argument("--association", default=None,
+                   choices=["first", "nearest", "mahalanobis"])
+
+
+def _config_from_args(args):
+    from tpuslam.runtime.config import SlamConfig
+    cfg = SlamConfig.from_cli_args({
+        "cid": args.cid, "id": args.id, "detectConeId": args.detectConeId,
+        "estimationId": args.estimationId,
+        "gatheringTimeMs": args.gatheringTimeMs,
+        "sameConeThreshold": args.sameConeThreshold,
+        "refLatitude": args.refLatitude, "refLongitude": args.refLongitude,
+        "timeBetweenKeyframes": args.timeBetweenKeyframes,
+        "coneMappingThreshold": args.coneMappingThreshold,
+        "conesPerPacket": args.conesPerPacket,
+    })
+    if args.no_compat:
+        cfg = cfg.with_(reference_compat=False, localizer_type_bug=False,
+                        association="nearest", localizer_refine=True)
+    if args.association:
+        cfg = cfg.with_(association=args.association)
+    return cfg
+
+
+def cmd_run(args):
+    from tpuslam.io.od4 import OD4Session
+    from tpuslam.runtime.service import SlamService
+    cfg = _config_from_args(args)
+    od4 = OD4Session(cid=cfg.cid)
+    svc = SlamService(cfg, od4=od4)
+    print(f"[slamctl] joining OD4 session {cfg.cid} "
+          f"(group 225.0.0.{cfg.cid}:12175)", file=sys.stderr)
+    try:
+        asyncio.run(svc.run_live())
+    except KeyboardInterrupt:
+        pass
+    svc.metrics.dump_json(sys.stdout)
+    return 0
+
+
+def cmd_replay(args):
+    from tpuslam.runtime.service import SlamService
+    cfg = _config_from_args(args)
+    svc = SlamService(cfg)
+    svc.run_replay(args.rec, paced=args.paced, speedup=args.speedup)
+    if args.checkpoint:
+        from tpuslam.runtime.checkpoint import save_checkpoint
+        save_checkpoint(args.checkpoint, svc.slam.state, cfg)
+    if args.png:
+        from tpuslam.viz import save_state_png
+        save_state_png(svc.slam.state, args.png)
+    svc.metrics.set("loop_closed", svc.slam.loop_closure_complete)
+    svc.metrics.set("landmarks", int(svc.slam.state.graph.n_landmarks))
+    svc.metrics.dump_json(sys.stdout)
+    return 0
+
+
+def cmd_sim(args):
+    import numpy as np
+    from tpuslam.core.slam import Slam
+    from tpuslam.sim import SimConfig, simulate, skidpad, acceleration, trackdrive
+    from tpuslam.sim.simulator import ate
+    cfg = _config_from_args(args)
+    track = {"skidpad": skidpad, "acceleration": acceleration,
+             "trackdrive": lambda: trackdrive(seed=args.seed)}[args.track]()
+    scen = simulate(track, SimConfig(laps=args.laps, seed=args.seed))
+    if args.rec_out:
+        from tpuslam.runtime.service import scenario_to_rec
+        scenario_to_rec(scen, args.rec_out, cfg)
+        print(f"[slamctl] wrote {args.rec_out}", file=sys.stderr)
+    slam = Slam(cfg)
+    t0 = time.perf_counter()
+    est = slam.run_scenario(scen)
+    dt = time.perf_counter() - t0
+    result = {
+        "track": track.name,
+        "frames": len(scen.times),
+        "fps": round(len(scen.times) / dt, 1),
+        "loop_closed": slam.loop_closure_complete,
+        "landmarks": int(slam.state.graph.n_landmarks),
+        "ate_published_m": round(ate(est[:, :2], scen.gt_poses[:, :2]), 4),
+        "ate_odometry_m": round(
+            ate(scen.odom_poses[:, :2], scen.gt_poses[:, :2]), 4),
+    }
+    if args.png:
+        from tpuslam.viz import save_state_png
+        save_state_png(slam.state, args.png, gt_track=track)
+        result["png"] = args.png
+    print(json.dumps(result))
+    return 0
+
+
+def cmd_bench(args):
+    import bench
+    bench.main()
+    return 0
+
+
+def cmd_export(args):
+    from tpuslam.io.exporters import rec_to_csv, rec_to_jsonl
+    from tpuslam.io.rec import read_rec
+    out = open(args.out, "w") if args.out else sys.stdout
+    if args.format == "csv":
+        if args.type is None:
+            print("--type is required for csv export", file=sys.stderr)
+            return 1
+        n = rec_to_csv(read_rec(args.rec), out, args.type)
+    else:
+        n = rec_to_jsonl(read_rec(args.rec), out, data_type=args.type)
+    print(f"[slamctl] exported {n} envelopes", file=sys.stderr)
+    return 0
+
+
+def cmd_monitor(args):
+    """Live bus monitor: per-type message rates (cluon-livefeed)."""
+    from tpuslam.io import messages as M
+    from tpuslam.io.od4 import OD4Session
+
+    names = {cls.ID: cls.__name__ for cls in M.MESSAGE_REGISTRY.values()}
+    counts: Counter = Counter()
+
+    async def run():
+        od4 = OD4Session(cid=args.cid)
+        od4.catch_all(lambda env: counts.update(
+            [(env.dataType, env.senderStamp)]))
+        await od4.start()
+        try:
+            while True:
+                await asyncio.sleep(args.interval)
+                print(f"--- {time.strftime('%H:%M:%S')} ---")
+                for (dt, stamp), n in sorted(counts.items()):
+                    name = names.get(dt, f"id{dt}")
+                    print(f"  {name:30s} sender={stamp:<5d} "
+                          f"{n / args.interval:8.1f} msg/s")
+                counts.clear()
+        finally:
+            await od4.stop()
+
+    try:
+        asyncio.run(run())
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
+def cmd_viz(args):
+    from tpuslam.runtime.checkpoint import load_checkpoint
+    from tpuslam.viz import save_state_png
+    state, meta = load_checkpoint(args.checkpoint)
+    save_state_png(state, args.out)
+    print(f"[slamctl] wrote {args.out}")
+    return 0
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="slamctl",
+                                description="TPU-native landmark SLAM")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("run", help="live OD4 microservice")
+    _add_reference_flags(pr)
+    pr.set_defaults(fn=cmd_run)
+
+    pp = sub.add_parser("replay", help="replay a .rec recording")
+    _add_reference_flags(pp)
+    pp.add_argument("rec")
+    pp.add_argument("--paced", action="store_true")
+    pp.add_argument("--speedup", type=float, default=1.0)
+    pp.add_argument("--checkpoint")
+    pp.add_argument("--png")
+    pp.set_defaults(fn=cmd_replay)
+
+    ps = sub.add_parser("sim", help="synthetic track run")
+    _add_reference_flags(ps)
+    ps.add_argument("track", choices=["skidpad", "acceleration", "trackdrive"])
+    ps.add_argument("--laps", type=float, default=1.3)
+    ps.add_argument("--seed", type=int, default=0)
+    ps.add_argument("--rec-out")
+    ps.add_argument("--png")
+    ps.set_defaults(fn=cmd_sim)
+
+    pb = sub.add_parser("bench", help="benchmark suite")
+    pb.set_defaults(fn=cmd_bench)
+
+    pe = sub.add_parser("export", help=".rec -> csv/jsonl")
+    pe.add_argument("rec")
+    pe.add_argument("--format", choices=["csv", "jsonl"], default="jsonl")
+    pe.add_argument("--type", type=int, default=None)
+    pe.add_argument("--out")
+    pe.set_defaults(fn=cmd_export)
+
+    pm = sub.add_parser("monitor", help="live bus message rates")
+    pm.add_argument("--cid", type=int, default=111)
+    pm.add_argument("--interval", type=float, default=2.0)
+    pm.set_defaults(fn=cmd_monitor)
+
+    pv = sub.add_parser("viz", help="checkpoint -> PNG")
+    pv.add_argument("checkpoint")
+    pv.add_argument("--out", default="slam_map.png")
+    pv.set_defaults(fn=cmd_viz)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

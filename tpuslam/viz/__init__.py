@@ -1,0 +1,1 @@
+from tpuslam.viz.plot import plot_state, save_state_png  # noqa: F401
