@@ -103,6 +103,18 @@ def assemble_odometry(g: FactorGraph, cfg: GNConfig):
 
     h_diag = a_jj.at[:-1].add(a_ii[1:])
     gp = g_j.at[:-1].add(g_i[1:])
+
+    # absolute pose priors (unary factors, J = I): improved-mode GPS/heading
+    # anchoring — zero info means disabled, so the compat path is unaffected
+    pose_valid = (k < g.n_poses).astype(dtype)
+    ixy = g.prior_info[:, 0] * pose_valid
+    ith = g.prior_info[:, 1] * pose_valid
+    eye_xy = jnp.zeros((3, 3), dtype).at[0, 0].set(1.0).at[1, 1].set(1.0)
+    eye_th = jnp.zeros((3, 3), dtype).at[2, 2].set(1.0)
+    h_diag = h_diag + ixy[:, None, None] * eye_xy + ith[:, None, None] * eye_th
+    r_prior = g.poses - g.prior_pose
+    r_prior = r_prior.at[:, 2].set(se2.wrap_angle(r_prior[:, 2]))
+    gp = gp + r_prior * jnp.stack([ixy, ixy, ith], axis=-1)
     return h_diag, h_off, gp
 
 

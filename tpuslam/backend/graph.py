@@ -54,6 +54,12 @@ class FactorGraph:
     obs_lm: jax.Array       # [E] i32
     obs_xy: jax.Array       # [E, 2] f32 body-frame measurement
     n_obs: jax.Array        # i32 scalar
+    # absolute pose priors (improved mode: GPS/heading unary factors that
+    # anchor the graph instead of the reference's hard gauge clamping —
+    # src/slam.cpp:464-474 fixes the first two poses/landmarks instead).
+    # info == 0 disables the prior for that pose.
+    prior_pose: jax.Array   # [P, 3] f32 measured (x, y, theta)
+    prior_info: jax.Array   # [P, 2] f32 (xy information, theta information)
 
     @property
     def pose_valid(self):
@@ -85,24 +91,34 @@ def empty_graph(cap: GraphCapacity, dtype=jnp.float32) -> FactorGraph:
         obs_lm=jnp.zeros((cap.max_obs,), jnp.int32),
         obs_xy=jnp.zeros((cap.max_obs, 2), dtype),
         n_obs=jnp.int32(0),
+        prior_pose=jnp.zeros((cap.max_poses, 3), dtype),
+        prior_info=jnp.zeros((cap.max_poses, 2), dtype),
     )
 
 
-def add_pose(g: FactorGraph, pose, odo_meas) -> FactorGraph:
+def add_pose(g: FactorGraph, pose, odo_meas, prior_info=None) -> FactorGraph:
     """Append a pose vertex + odometry edge from its predecessor.
 
     `odo_meas` must be between(prev_pose_estimate, pose) evaluated by the
     caller at insertion time (the reference freezes the measurement from the
     *current estimates* the same way, src/slam.cpp:451-455). Saturates
     silently at capacity (caller checks n_poses beforehand).
+    `prior_info` (xy_info, theta_info) attaches an absolute prior at `pose`.
     """
     k = jnp.minimum(g.n_poses, g.poses.shape[0] - 1)
-    return dataclasses.replace(
+    g = dataclasses.replace(
         g,
         poses=g.poses.at[k].set(pose),
         odo_meas=g.odo_meas.at[k].set(odo_meas),
         n_poses=jnp.minimum(g.n_poses + 1, g.poses.shape[0]),
     )
+    if prior_info is not None:
+        g = dataclasses.replace(
+            g,
+            prior_pose=g.prior_pose.at[k].set(pose),
+            prior_info=g.prior_info.at[k].set(jnp.asarray(prior_info, g.poses.dtype)),
+        )
+    return g
 
 
 def add_landmark(g: FactorGraph, xy, lm_type, enable=True) -> FactorGraph:

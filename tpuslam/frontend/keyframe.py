@@ -47,6 +47,11 @@ class KeyframeOutputs:
 
 
 def _gn_config(cfg: SlamConfig) -> gn.GNConfig:
+    if cfg.use_gps_prior:
+        # absolute priors anchor the graph; no gauge clamping needed
+        return gn.GNConfig(odo_info=cfg.odo_info, lm_info=cfg.lm_info,
+                           iterations=cfg.gn_iterations,
+                           fix_first_poses=0, fix_first_landmarks=0)
     return gn.GNConfig(odo_info=cfg.odo_info, lm_info=cfg.lm_info,
                        iterations=cfg.gn_iterations)
 
@@ -355,7 +360,11 @@ def perform_keyframe(state: SlamState, obs, obs_valid, pose, cfg: SlamConfig):
         g = state.graph
         prev = g.poses[jnp.maximum(g.n_poses - 1, 0)]
         odo = jnp.where(g.n_poses > 0, se2.between(prev, pose), jnp.zeros(3, pose.dtype))
-        g = G.add_pose(g, pose, odo)
+        prior = None
+        if cfg.use_gps_prior:
+            prior = (1.0 / cfg.gps_prior_std ** 2,
+                     1.0 / cfg.heading_prior_std ** 2)
+        g = G.add_pose(g, pose, odo, prior_info=prior)
         pose_idx = g.n_poses - 1
         state = dataclasses.replace(state, graph=g,
                                     keyframe_count=state.keyframe_count + 1)

@@ -51,7 +51,7 @@ def multisession_optimize(stacked: FactorGraph, cfg: gn.GNConfig, mesh,
         poses=sess_spec, n_poses=sess_spec, odo_meas=sess_spec,
         lm_xy=sess_spec, lm_type=sess_spec, n_landmarks=sess_spec,
         obs_pose=sess_edge_spec, obs_lm=sess_edge_spec, obs_xy=sess_edge_spec,
-        n_obs=sess_spec)
+        n_obs=sess_spec, prior_pose=sess_spec, prior_info=sess_spec)
 
     # global edge offset of this shard, for validity masking
     def one_iteration(st: FactorGraph) -> FactorGraph:
@@ -61,7 +61,8 @@ def multisession_optimize(stacked: FactorGraph, cfg: gn.GNConfig, mesh,
             base = shard * e_local
 
             def per_session(poses, odo_meas, n_poses, lm_xy, n_landmarks,
-                            obs_pose, obs_lm, obs_xy, n_obs):
+                            obs_pose, obs_lm, obs_xy, n_obs, prior_pose,
+                            prior_info):
                 dtype = poses.dtype
                 e_idx = base + jnp.arange(e_local)
                 w_l = jnp.asarray(cfg.lm_info, dtype) * (e_idx < n_obs).astype(dtype)
@@ -72,7 +73,8 @@ def multisession_optimize(stacked: FactorGraph, cfg: gn.GNConfig, mesh,
                                     lm_type=jnp.zeros_like(lm_xy[:, 0], jnp.int32),
                                     n_landmarks=n_landmarks,
                                     obs_pose=obs_pose, obs_lm=obs_lm,
-                                    obs_xy=obs_xy, n_obs=n_obs)
+                                    obs_xy=obs_xy, n_obs=n_obs,
+                                    prior_pose=prior_pose, prior_info=prior_info)
                 h_diag_o, h_off, gp_o = gn.assemble_odometry(g_tmp, cfg)
                 n_eshards = jax.lax.axis_size("edges")
                 scale = 1.0 / n_eshards  # odometry computed on every shard
@@ -81,7 +83,8 @@ def multisession_optimize(stacked: FactorGraph, cfg: gn.GNConfig, mesh,
             parts, odo = jax.vmap(per_session)(
                 st_local.poses, st_local.odo_meas, st_local.n_poses,
                 st_local.lm_xy, st_local.n_landmarks, st_local.obs_pose,
-                st_local.obs_lm, st_local.obs_xy, st_local.n_obs)
+                st_local.obs_lm, st_local.obs_xy, st_local.n_obs,
+                st_local.prior_pose, st_local.prior_info)
             # THE distributed Schur reduction: sum partial blocks over ICI
             parts, odo = jax.lax.psum((parts, odo), "edges")
             (h_diag_lm, w_mat, hll, gp_lm, gl) = parts
@@ -98,7 +101,9 @@ def multisession_optimize(stacked: FactorGraph, cfg: gn.GNConfig, mesh,
                     obs_pose=jnp.zeros((1,), jnp.int32),
                     obs_lm=jnp.zeros((1,), jnp.int32),
                     obs_xy=jnp.zeros((1, 2), poses.dtype),
-                    n_obs=jnp.int32(0))
+                    n_obs=jnp.int32(0),
+                    prior_pose=jnp.zeros_like(poses),
+                    prior_info=jnp.zeros((poses.shape[0], 2), poses.dtype))
                 blocks = gn._apply_gauge(g_tmp, cfg, hpp, w_mat, hll, gp, gl)
                 dp, dl = gn.schur_solve(*blocks)
                 new_poses = poses + dp.reshape(-1, 3)

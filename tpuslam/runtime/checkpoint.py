@@ -38,6 +38,8 @@ def save_checkpoint(path: str, state: SlamState, cfg: SlamConfig,
         "n_landmarks": np.asarray(g.n_landmarks),
         "obs_pose": np.asarray(g.obs_pose), "obs_lm": np.asarray(g.obs_lm),
         "obs_xy": np.asarray(g.obs_xy), "n_obs": np.asarray(g.n_obs),
+        "prior_pose": np.asarray(g.prior_pose),
+        "prior_info": np.asarray(g.prior_info),
         "current_cone_index": np.asarray(state.current_cone_index),
         "loop_closing": np.asarray(state.loop_closing),
         "loop_closure_complete": np.asarray(state.loop_closure_complete),
@@ -66,6 +68,8 @@ def load_checkpoint(path: str, cfg: SlamConfig | None = None):
         n_landmarks=jnp.asarray(z["n_landmarks"]),
         obs_pose=jnp.asarray(z["obs_pose"]), obs_lm=jnp.asarray(z["obs_lm"]),
         obs_xy=jnp.asarray(z["obs_xy"]), n_obs=jnp.asarray(z["n_obs"]),
+        prior_pose=jnp.asarray(z["prior_pose"]),
+        prior_info=jnp.asarray(z["prior_info"]),
     )
     if cfg is not None:
         cap = cfg.capacity
