@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Scaling-efficiency harness for the distributed Schur reduction.
+
+BASELINE.md asks for frames/s scaling efficiency at 1 chip / 1 host / N
+hosts (target >= 70%). This harness measures:
+
+- weak scaling: S sessions over S devices ('sessions' axis), per-device work
+  constant — efficiency = t(1 session, 1 device) / t(S sessions, S devices).
+- strong scaling: one large session's edge list sharded over D devices
+  ('edges' axis) — efficiency = t(1) / (D * t(D)).
+
+On a real multi-chip slice run it as-is (each host: jax.distributed).
+On this single-chip/CPU environment it runs on the virtual
+--xla_force_host_platform_device_count mesh: the collective paths and
+shardings are real, but the "devices" share host cores, so absolute
+efficiency numbers are only meaningful on real hardware — the JSON records
+which kind of mesh was used.
+"""
+import json
+import time
+
+import numpy as np
+
+
+def _build_session(cap, seed):
+    import jax.numpy as jnp
+    from tpuslam.backend import graph as G
+    from tpuslam.geometry import se2
+    rng = np.random.default_rng(seed)
+    n_p = cap.max_poses // 2
+    n_l = cap.max_landmarks // 2
+    g = G.empty_graph(cap)
+    prev = None
+    t = np.linspace(0, 2 * np.pi, n_p, endpoint=False)
+    poses = np.stack([30 * np.cos(t), 30 * np.sin(t),
+                      np.asarray(se2.wrap_angle(t + np.pi / 2))], 1)
+    lms = np.stack([33 * np.cos(t[:n_l] * (n_p / n_l)),
+                    33 * np.sin(t[:n_l] * (n_p / n_l))], 1)
+    for p in poses:
+        p = p + rng.normal(0, 0.1, 3)
+        meas = np.zeros(3) if prev is None else np.asarray(se2.between(prev, p))
+        g = G.add_pose(g, jnp.asarray(p, jnp.float32), jnp.asarray(meas, jnp.float32))
+        prev = p
+    for l in lms:
+        g = G.add_landmark(g, jnp.asarray(l, jnp.float32), jnp.int32(1))
+    e = 0
+    cap_e = cap.max_obs
+    for i in range(n_p):
+        for j in range(n_l):
+            if e >= cap_e - 1:
+                break
+            if np.linalg.norm(lms[j] - poses[i, :2]) < 15.0:
+                body = np.asarray(se2.transform_to_body(poses[i], lms[j]))
+                g = G.add_observation(g, jnp.int32(i), jnp.int32(j),
+                                      jnp.asarray(body, jnp.float32))
+                e += 1
+    return g
+
+
+def main():
+    import jax
+    from tpuslam.backend import gauss_newton as gn
+    from tpuslam.backend.graph import GraphCapacity
+    from tpuslam.parallel import (make_slam_mesh, multisession_optimize,
+                                  distributed_optimize, stack_graphs)
+
+    devices = jax.devices()
+    n_dev = len(devices)
+    mesh_kind = devices[0].platform
+    cfg = gn.GNConfig(iterations=5)
+    cap = GraphCapacity(max_poses=256, max_landmarks=128, max_obs=4096)
+
+    def timeit(fn, reps=5):
+        out = fn()
+        jax.block_until_ready(out.poses)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn()
+        jax.block_until_ready(out.poses)
+        return (time.perf_counter() - t0) / reps
+
+    results = {"devices": n_dev, "platform": mesh_kind,
+               "virtual_mesh": mesh_kind == "cpu"}
+
+    # --- weak scaling over sessions
+    g1 = _build_session(cap, 0)
+    mesh1 = make_slam_mesh(n_sessions=1, n_edge_shards=1, devices=devices[:1])
+    s1 = stack_graphs([g1])
+    t_1 = timeit(lambda: multisession_optimize(s1, cfg, mesh1))
+    graphs = [_build_session(cap, s) for s in range(n_dev)]
+    mesh_n = make_slam_mesh(n_sessions=n_dev, n_edge_shards=1)
+    sn = stack_graphs(graphs)
+    t_n = timeit(lambda: multisession_optimize(sn, cfg, mesh_n))
+    results["weak_scaling"] = {
+        "t1_s": round(t_1, 4), "tN_s": round(t_n, 4),
+        "sessions": n_dev, "efficiency": round(t_1 / t_n, 3),
+    }
+
+    # --- strong scaling over the edge axis
+    mesh_e1 = make_slam_mesh(n_sessions=1, n_edge_shards=1, devices=devices[:1])
+    mesh_eN = make_slam_mesh(n_sessions=1, n_edge_shards=n_dev)
+    te_1 = timeit(lambda: distributed_optimize(g1, cfg, mesh_e1))
+    te_n = timeit(lambda: distributed_optimize(g1, cfg, mesh_eN))
+    results["strong_scaling"] = {
+        "t1_s": round(te_1, 4), "tN_s": round(te_n, 4),
+        "edge_shards": n_dev, "speedup": round(te_1 / te_n, 3),
+        "efficiency": round(te_1 / (n_dev * te_n), 3),
+    }
+
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

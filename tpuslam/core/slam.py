@@ -66,6 +66,22 @@ class Slam:
         self.last_outputs = None
         self.keyframes_processed = 0
 
+        # optional message-rate CTRV EKF (cfg.use_ekf_fusion)
+        self._ekf = None
+        self._ekf_us: Optional[int] = None
+
+    # ------------------------------------------------------------ EKF fusion
+    def _ekf_predict_to(self, sample_us: int):
+        from tpuslam.frontend import motion
+        if self._ekf is None:
+            self._ekf = motion.ekf_init(jnp.asarray(self._odometry, jnp.float32))
+            self._ekf_us = sample_us
+            return
+        dt = (sample_us - (self._ekf_us or sample_us)) / 1e6
+        if 0.0 < dt < 1.0:
+            self._ekf = motion.ekf_predict(self._ekf, dt)
+        self._ekf_us = max(self._ekf_us or sample_us, sample_us)
+
     # ------------------------------------------------------------ ingest API
     def _in_gathering_window(self, sample_us: int) -> bool:
         return self._frame_open and \
@@ -82,6 +98,13 @@ class Slam:
         self._geolocation_received_us = sample_us
         xy = wgs84.to_cartesian(self._gps_ref, np.array([msg.latitude, msg.longitude]))
         self._odometry[:] = (xy[0], xy[1], msg.heading)
+        if self.cfg.use_ekf_fusion:
+            from tpuslam.frontend import motion
+            self._ekf_predict_to(sample_us)
+            self._ekf = motion.ekf_update_position(
+                self._ekf, jnp.asarray(xy, jnp.float32),
+                std=self.cfg.gps_prior_std)
+            self._ekf = motion.ekf_update_heading(self._ekf, msg.heading)
         self._sync_frame_snapshot(sample_us)
 
     def next_split_pose(self, msg, sample_us: int):
@@ -103,6 +126,12 @@ class Slam:
         """IMU yaw rate, pre-scaled like the reference (src/slam.cpp:212-219)."""
         self._yaw_rate = msg.angularVelocityZ * self.cfg.yaw_rate_scale
         self._yaw_received_us = sample_us
+        if self.cfg.use_ekf_fusion:
+            from tpuslam.frontend import motion
+            self._ekf_predict_to(sample_us)
+            # the EKF fuses the *raw* rate — the /4 scaling is a compat quirk
+            self._ekf = motion.ekf_update_yaw_rate(self._ekf,
+                                                   msg.angularVelocityZ)
         self._sync_frame_snapshot(sample_us)
 
     def next_cone(self, msg, sample_us: int):
@@ -176,13 +205,18 @@ class Slam:
         obs_pad[:n] = obs[:n]
         valid_pad[:n] = valid[:n]
 
-        pose = (self._odometry if pose_override is None else pose_override).copy()
-        yaw_rate, yaw_us = ((self._yaw_rate, self._yaw_received_us)
-                            if yaw_override is None else yaw_override)
-        # yaw-rate heading correction (reference src/slam.cpp:309-317)
-        dt = abs(yaw_us - sample_us) / 1e6
-        if 0.0 < dt < 1.0:
-            pose[2] -= yaw_rate * dt
+        if self.cfg.use_ekf_fusion and self._ekf is not None:
+            self._ekf_predict_to(sample_us)
+            pose = np.asarray(self._ekf.x[:3], dtype=np.float64).copy()
+        else:
+            pose = (self._odometry if pose_override is None
+                    else pose_override).copy()
+            yaw_rate, yaw_us = ((self._yaw_rate, self._yaw_received_us)
+                                if yaw_override is None else yaw_override)
+            # yaw-rate heading correction (reference src/slam.cpp:309-317)
+            dt = abs(yaw_us - sample_us) / 1e6
+            if 0.0 < dt < 1.0:
+                pose[2] -= yaw_rate * dt
 
         self.state, outputs = perform_keyframe(
             self.state, jnp.asarray(obs_pad), jnp.asarray(valid_pad),

@@ -49,6 +49,10 @@ class SlamConfig:
     obs_noise_std: float = 0.3            # assumed obs sigma for Mahalanobis covariances
     vectorized_mapping: bool = True       # batched mapping step (same semantics,
                                           # ~10x faster; False = lax.scan form)
+    use_ekf_fusion: bool = False          # CTRV EKF fuses GPS/heading/yaw at
+                                          # message rate; keyframes use the
+                                          # filtered pose (improvement over
+                                          # the reference's yaw-only hack)
     use_gps_prior: bool = False           # improved mode: absolute GPS/heading
                                           # unary factors anchor the graph
                                           # (replaces gauge clamping)
