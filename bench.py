@@ -75,13 +75,15 @@ def main():
     map_err_improved = float(np.median(np.linalg.norm(
         lm2[:, None, :] - track.cones_xy[None], axis=-1).min(axis=1)))
 
-    # timed passes (fresh state each; donation recycles buffers)
+    # timed passes (fresh state each; donation recycles buffers).
+    # NOTE: sync via a real host transfer per pass — on the axon backend
+    # block_until_ready alone does not reliably force remote execution.
     n_pass = 5
     t0 = time.perf_counter()
     for _ in range(n_pass):
         st = initial_state(cap)
         st, _ = run_sequence(st, obs, valid, poses, cfg)
-    jax.block_until_ready(st.graph.poses)
+        _ = int(st.graph.n_poses)  # hard sync
     dt = time.perf_counter() - t0
     fps_tpu = n_pass * t_frames / dt
 
