@@ -398,6 +398,12 @@ def perform_keyframe(state: SlamState, obs, obs_valid, pose, cfg: SlamConfig):
                 do, lambda gg: gn.optimize(gg, _gn_config(cfg)), lambda gg: gg,
                 state.graph)
             state = dataclasses.replace(state, graph=new_g)
+        if cfg.use_gps_prior:
+            # mapping mode: publish the graph's latest pose (refreshed by the
+            # periodic GN) instead of raw odometry. Localization mode keeps
+            # the localizer-refined pose, which is strictly better.
+            use_graph = ~state.loop_closure_complete & (state.graph.n_landmarks > 4)
+            out_pose = jnp.where(use_graph, state.graph.poses[pose_idx], out_pose)
         return state, out_pose, closed, send
 
     def skip(state):
