@@ -88,3 +88,30 @@ def test_multisession_improves_chi2():
         before = float(gn.chi2(g, CFG))
         after = float(gn.chi2(jax.tree.map(lambda x: x[s], out), CFG))
         assert after < before
+
+
+def test_chain_parallel_matches_single_device():
+    """Pose-chain (sequence) parallelism: halo exchange + gathered rows must
+    reproduce the single-device solution exactly."""
+    from tpuslam.parallel import chain_optimize, make_chain_mesh
+    g = _world()
+    mesh = make_chain_mesh(8)
+    single = gn.optimize(g, CFG)
+    dist = chain_optimize(g, CFG, mesh)
+    np.testing.assert_allclose(np.asarray(dist.poses), np.asarray(single.poses),
+                               atol=5e-4)
+    np.testing.assert_allclose(np.asarray(dist.lm_xy), np.asarray(single.lm_xy),
+                               atol=5e-4)
+
+
+def test_chain_partitioner_rejects_overflow():
+    from tpuslam.parallel import partition_edges_by_pose_block
+    g = _world()
+    # pile observations onto pose 0 until its block must overflow a
+    # 64/32 = 2-edge per-block budget
+    for _ in range(4):
+        g = G.add_observation(g, jnp.int32(0), jnp.int32(1),
+                              jnp.zeros(2, jnp.float32))
+    import pytest
+    with pytest.raises(ValueError):
+        partition_edges_by_pose_block(g, 32)

@@ -1,5 +1,8 @@
-from tpuslam.parallel.mesh import make_slam_mesh, initialize_distributed  # noqa: F401
+from tpuslam.parallel.mesh import (  # noqa: F401
+    make_chain_mesh, make_slam_mesh, initialize_distributed,
+)
 from tpuslam.parallel.distributed import (  # noqa: F401
     distributed_gn_step, distributed_optimize,
 )
 from tpuslam.parallel.multisession import multisession_optimize, stack_graphs  # noqa: F401
+from tpuslam.parallel.chain import chain_optimize, partition_edges_by_pose_block  # noqa: F401

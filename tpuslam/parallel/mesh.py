@@ -18,7 +18,15 @@ import jax
 import numpy as np
 from jax.sharding import Mesh
 
-__all__ = ["make_slam_mesh", "initialize_distributed"]
+__all__ = ["make_slam_mesh", "make_chain_mesh", "initialize_distributed"]
+
+
+def make_chain_mesh(n_shards: int | None = None, devices=None) -> Mesh:
+    """1-D mesh over the 'chain' axis for pose-chain (sequence) parallelism."""
+    if devices is None:
+        devices = jax.devices()
+    n = n_shards or len(devices)
+    return Mesh(np.array(devices[:n]), axis_names=("chain",))
 
 
 def make_slam_mesh(n_sessions: int = 1, n_edge_shards: int | None = None,
