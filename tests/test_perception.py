@@ -109,3 +109,71 @@ def test_full_loop_packets_to_cones():
     for cx, cy in cones:
         d = np.linalg.norm(got_xy - (cx, cy), axis=1)
         assert d.min() < 0.3, (cx, cy, got_xy)
+
+
+def test_point_cloud_reading_roundtrip():
+    """Raycast scene -> PointCloudReading -> decode: returns lie on the
+    analytic geometry (ground plane + cone cylinders)."""
+    from tpuslam.perception.vlp16 import decode_point_cloud_reading
+    from tpuslam.sim.vlp16_sim import scene_to_point_cloud_reading
+    cones = np.array([[5.0, 1.0], [7.0, -2.0]])
+    scfg = Vlp16SceneConfig(seed=9, noise=0.0)
+    msg = scene_to_point_cloud_reading(cones, scfg)
+    cloud, _ = decode_point_cloud_reading(msg)
+    assert len(cloud) > 1000
+    h = scfg.sensor_height
+    on_ground = np.abs(cloud[:, 2] + h) < 0.05
+    d_cone = np.linalg.norm(cloud[:, None, :2] - cones[None], axis=-1).min(axis=1)
+    on_cone = d_cone < 0.25
+    frac = np.mean(on_ground | on_cone)
+    assert frac > 0.98, frac
+    assert on_cone.sum() >= 8  # both cones produce multiple returns
+
+
+def test_service_integrated_lidar_frontend():
+    """BASELINE config 4 end to end THROUGH THE SERVICE: PointCloudReading
+    envelopes -> attention -> SLAM map."""
+    import jax.numpy as jnp
+    from tpuslam.backend.graph import GraphCapacity
+    from tpuslam.geometry import wgs84
+    from tpuslam.io import envelope as E
+    from tpuslam.io import messages as M
+    from tpuslam.perception import AttentionConfig
+    from tpuslam.runtime.config import SlamConfig
+    from tpuslam.runtime.service import SlamService
+    from tpuslam.sim.vlp16_sim import scene_to_point_cloud_reading
+
+    scfg = Vlp16SceneConfig(seed=11, points_per_cone=50)
+    cones_global = np.array([[8.0, 1.5], [11.0, -1.5], [14.0, 1.5],
+                             [17.0, -1.5], [20.0, 1.5]])
+    cfg = SlamConfig(capacity=GraphCapacity(max_poses=32, max_landmarks=32,
+                                            max_obs=512),
+                     time_between_keyframes_ms=50.0)
+    acfg = AttentionConfig(sensor_height=scfg.sensor_height,
+                           ground_layer_z=-scfg.sensor_height,
+                           inlier_found_threshold=300)
+    svc = SlamService(cfg, attention_cfg=acfg, lidar_sender_id=42)
+    ref = np.array(cfg.gps_reference)
+
+    for t in range(5):
+        us = int(t * 0.5e6) + 1000
+        pose = np.array([2.0 * t, 0.0, 0.0])
+        latlon = wgs84.from_cartesian(ref, pose[:2])
+        svc.dispatch_envelope(E.pack_message(
+            M.Geolocation(latitude=float(latlon[0]), longitude=float(latlon[1]),
+                          heading=0.0),
+            sample_us=us, sender_stamp=cfg.estimation_id))
+        # raycast the scene from the LIDAR (1.5 m ahead of the CoG)
+        lidar = pose[:2] + np.array([1.5, 0.0])
+        local = cones_global - lidar
+        vis = local[:, 0] > 1.0
+        svc.dispatch_envelope(E.pack_message(
+            scene_to_point_cloud_reading(local[vis], scfg),
+            sample_us=us, sender_stamp=42))
+
+    assert svc.metrics.counters["point_cloud_messages"] == 5
+    n_lm = int(svc.slam.state.graph.n_landmarks)
+    assert 3 <= n_lm <= len(cones_global) + 1, n_lm
+    lm, _ = svc.slam.draw_cones()
+    d = np.linalg.norm(lm[:, None, :] - cones_global[None], axis=-1).min(axis=1)
+    assert np.median(d) < 0.4, (lm, d)

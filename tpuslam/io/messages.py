@@ -152,6 +152,24 @@ class ObjectDistance:
     distance: float = 0.0
 
 
+@register
+@dataclass
+class PointCloudReading:
+    """opendlv.proxy.PointCloudReading [49] (odvd:160-166): compact per-
+    azimuth distance blocks from the VLP-16 proxy."""
+    ID: ClassVar[int] = 49
+    FIELDS: ClassVar = [(1, FLOAT, "startAzimuth", None),
+                        (2, FLOAT, "endAzimuth", None),
+                        (3, VARINT_UNSIGNED, "entriesPerAzimuth", None),
+                        (4, STRING, "distances", None),
+                        (5, VARINT_UNSIGNED, "numberOfBitsForIntensity", None)]
+    startAzimuth: float = 0.0
+    endAzimuth: float = 0.0
+    entriesPerAzimuth: int = 0
+    distances: bytes = b""
+    numberOfBitsForIntensity: int = 0
+
+
 @dataclass
 class GenericMessage:
     """Runtime-typed fallback for unknown dataTypes (cluon GenericMessage

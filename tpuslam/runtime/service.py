@@ -21,14 +21,23 @@ CONE_TYPES = (M.ObjectDirection.ID, M.ObjectDistance.ID, M.ObjectType.ID)
 POSE_TYPES = (M.Geolocation.ID,)
 SPLIT_POSE_TYPES = (M.GeodeticWgs84Reading.ID, M.GeodeticHeadingReading.ID)
 YAW_TYPES = (M.AngularVelocityReading.ID,)
+POINT_CLOUD_TYPES = (49,)  # opendlv.proxy.PointCloudReading (odvd:160-166)
 
 
 class SlamService:
     def __init__(self, cfg: SlamConfig, od4=None,
-                 metrics: Optional[MetricsRegistry] = None):
+                 metrics: Optional[MetricsRegistry] = None,
+                 attention_cfg=None, lidar_sender_id: Optional[int] = None):
+        """`attention_cfg` (tpuslam.perception.AttentionConfig) enables the
+        integrated lidar front-end: raw PointCloudReading messages run
+        through the cone detector and feed the engine directly — the
+        capability the reference delegates to the sibling
+        cfsd18-sensation-attention microservice (SURVEY.md §1 dataflow)."""
         self.cfg = cfg
         self.od4 = od4
         self.metrics = metrics or MetricsRegistry()
+        self.attention_cfg = attention_cfg
+        self.lidar_sender_id = lidar_sender_id
         publish = None
         if od4 is not None:
             publish = lambda msg, ts, stamp: od4.send(msg, ts.micros, stamp)  # noqa: E731
@@ -59,6 +68,41 @@ class SlamService:
                 return
             self.slam.next_yaw_rate(E.unpack_message(env), us)
             self.metrics.inc("yaw_messages")
+        elif dt in POINT_CLOUD_TYPES and self.attention_cfg is not None:
+            if self.lidar_sender_id is not None and \
+                    env.senderStamp != self.lidar_sender_id:
+                return
+            self._process_point_cloud(E.unpack_message(env), us)
+            self.metrics.inc("point_cloud_messages")
+
+    def _process_point_cloud(self, msg, sample_us: int):
+        """Integrated lidar front-end: PointCloudReading -> cone detection ->
+        direct frame ingestion (bypassing the per-cone message hop the
+        reference needed between its two microservices)."""
+        import numpy as np
+        import jax.numpy as jnp
+        from tpuslam.perception import detect_cones
+        from tpuslam.perception.vlp16 import decode_point_cloud_reading
+
+        points, _ = decode_point_cloud_reading(msg)
+        acfg = self.attention_cfg
+        cap = getattr(acfg, "point_capacity", 4096)
+        # host-side ROI prefilter so the fixed device capacity holds the
+        # relevant sector (full sweeps carry ~30k returns, mostly behind)
+        roi = ((np.abs(points[:, 1]) <= acfg.x_boundary)
+               & (points[:, 0] > 0.1) & (points[:, 0] <= acfg.y_boundary))
+        points = points[roi]
+        pts = np.zeros((cap, 3), dtype=np.float32)
+        n = min(len(points), cap)
+        pts[:n] = points[:n]
+        valid = np.zeros(cap, dtype=bool)
+        valid[:n] = True
+        cones, ok, n_cones = detect_cones(jnp.asarray(pts), jnp.asarray(valid),
+                                          acfg)
+        cones = np.asarray(cones)[np.asarray(ok)]
+        if len(cones) and self.slam._is_keyframe(sample_us):
+            self.slam.process_frame(cones, np.ones(len(cones), bool),
+                                    sample_us)
 
     # --------------------------------------------------------------- replay
     def run_replay(self, rec_path: str, paced: bool = False,

@@ -61,6 +61,67 @@ def render_scene(cones_xy: np.ndarray, cones_type: np.ndarray,
     return points, np.concatenate(inten)
 
 
+def raycast_range_image(cones_xy: np.ndarray, cfg: Vlp16SceneConfig,
+                        step: float = 0.2, max_range: float = 60.0):
+    """Analytic VLP-16 sweep: rays along the real beam pattern against the
+    ground plane + cone cylinders. Unlike point-snapping, this preserves the
+    physical constraint that every return lies ON its beam — exactly what a
+    real sensor produces and what the decoders reconstruct.
+
+    Returns a [n_az, 16] range image (0 = no return), azimuth step `step` deg.
+    """
+    rng = np.random.default_rng(cfg.seed)
+    az = np.radians(np.arange(0.0, 360.0, step))              # [A]
+    el = np.radians(vlp16.VLP16_ELEVATIONS_DEG)               # [16]
+    ch = np.cos(el)[None, :]                                  # [1, 16]
+    sz = np.sin(el)[None, :]
+    ux = ch * np.cos(az)[:, None]                             # [A, 16]
+    uy = -ch * np.sin(az)[:, None]
+    h = cfg.sensor_height
+
+    # ground plane z = -h (sensor at origin)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t_ground = np.where(sz < -1e-6, -h / sz, np.inf)
+    t_ground = np.broadcast_to(t_ground, ux.shape).copy()
+    t_ground[t_ground > max_range] = np.inf
+
+    best = t_ground
+    r_cone = CONE_BASE_RADIUS * 0.7   # effective cylinder radius
+    for cx, cy in np.atleast_2d(cones_xy):
+        b = ux * cx + uy * cy                                  # [A, 16]
+        c0 = cx * cx + cy * cy - r_cone * r_cone
+        disc = b * b - (ch * ch) * c0
+        with np.errstate(invalid="ignore", divide="ignore"):
+            t = np.where(disc > 0, (b - np.sqrt(np.maximum(disc, 0.0)))
+                         / np.maximum(ch * ch, 1e-12), np.inf)
+        z_hit = np.broadcast_to(sz, t.shape) * t
+        hit = (t > 0.5) & (z_hit > -h - 0.02) & (z_hit < -h + CONE_HEIGHT)
+        t = np.where(hit, t, np.inf)
+        best = np.minimum(best, t)
+
+    image = np.where(np.isinf(best), 0.0, best)
+    image = np.where(image > 0, image + rng.normal(0, cfg.noise, image.shape), 0.0)
+    return image, step
+
+
+def scene_to_point_cloud_reading(cones_xy: np.ndarray,
+                                 cfg: Vlp16SceneConfig = Vlp16SceneConfig()):
+    """Cone scene -> opendlv.proxy.PointCloudReading via beam raycasting.
+
+    Distances are big-endian uint16 counts at the 0.2 cm LSB of the usecase
+    calibration (usecase/VLP-16.xml distLSB_=0.2), interleaved per azimuth
+    step — the format tpuslam.perception.vlp16.decode_point_cloud_reading
+    consumes.
+    """
+    from tpuslam.io import messages as M
+    image, step = raycast_range_image(cones_xy, cfg)
+    counts = np.clip(image / 0.002, 0, 0xFFFF).astype(">u2")
+    return M.PointCloudReading(
+        startAzimuth=0.0, endAzimuth=360.0 - step,
+        entriesPerAzimuth=16, distances=counts.tobytes(),
+        numberOfBitsForIntensity=0)
+
+
 def scene_to_packets(points: np.ndarray, cfg: Vlp16SceneConfig = Vlp16SceneConfig()):
     """Quantize a scene onto the VLP-16 beam pattern and emit packets.
 
