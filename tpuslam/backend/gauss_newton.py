@@ -72,10 +72,17 @@ def _edge_terms(g: FactorGraph, cfg: GNConfig):
 
 
 def chi2(g: FactorGraph, cfg: GNConfig):
-    """Weighted squared error — parity with g2o's verbose chi2 dump."""
+    """Weighted squared error — parity with g2o's verbose chi2 dump.
+    Includes the absolute pose priors when present (zero-info = no-op)."""
     (r_o, _, _, w_o), (r_l, _, _, w_l, _, _) = _edge_terms(g, cfg)
+    dtype = g.poses.dtype
+    pv = g.pose_valid.astype(dtype)
+    r_pr = g.poses - g.prior_pose
+    r_pr = r_pr.at[:, 2].set(se2.wrap_angle(r_pr[:, 2]))
+    prior = jnp.sum(pv * (g.prior_info[:, 0] * jnp.sum(r_pr[:, :2] ** 2, -1)
+                          + g.prior_info[:, 1] * r_pr[:, 2] ** 2))
     return (jnp.sum(w_o * jnp.sum(r_o * r_o, -1))
-            + jnp.sum(w_l * jnp.sum(r_l * r_l, -1)))
+            + jnp.sum(w_l * jnp.sum(r_l * r_l, -1)) + prior)
 
 
 def assemble_odometry(g: FactorGraph, cfg: GNConfig):

@@ -394,8 +394,10 @@ def perform_keyframe(state: SlamState, obs, obs_valid, pose, cfg: SlamConfig):
         if cfg.periodic_gn_every > 0:
             do = (state.keyframe_count % cfg.periodic_gn_every == 0) & \
                  (state.graph.n_landmarks > 4)
+            periodic_cfg = dataclasses.replace(
+                _gn_config(cfg), iterations=cfg.periodic_gn_iterations)
             new_g = jax.lax.cond(
-                do, lambda gg: gn.optimize(gg, _gn_config(cfg)), lambda gg: gg,
+                do, lambda gg: gn.optimize(gg, periodic_cfg), lambda gg: gg,
                 state.graph)
             state = dataclasses.replace(state, graph=new_g)
         if cfg.use_gps_prior:

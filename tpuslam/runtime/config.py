@@ -45,6 +45,9 @@ class SlamConfig:
     localizer_type_bug: bool = True       # reference src/slam.cpp:360 signed type compare
     localizer_refine: bool = False        # pose-only GN in localization mode (improvement)
     periodic_gn_every: int = 0            # >0: re-optimize every k keyframes (improvement)
+    periodic_gn_iterations: int = 3       # GN iterations per periodic pass
+                                          # (warm-started, so few are needed;
+                                          # closure still runs gn_iterations)
     mahalanobis_gate: float = 9.21        # chi2(2) 99% gate for 'mahalanobis' mode
     obs_noise_std: float = 0.3            # assumed obs sigma for Mahalanobis covariances
     vectorized_mapping: bool = True       # batched mapping step (same semantics,
