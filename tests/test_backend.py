@@ -154,3 +154,18 @@ def test_masked_growth_no_recompile_shape():
     assert int(g2.n_landmarks) == 0  # masked no-op
     g3 = G.add_landmark(g, jnp.ones(2), jnp.int32(2), enable=True)
     assert int(g3.n_landmarks) == 1
+
+
+def test_bucketed_solve_bit_identical_to_full():
+    """The bucketed reduced solve must match the full-capacity solve exactly:
+    the gauged padding region is exact identity/zero, so slicing to any
+    covering bucket changes no arithmetic on the active block."""
+    poses, lms, obs = _build_world(n_poses=12, n_lm=8)
+    g = _as_factor_graph(poses, lms, obs)  # n_poses=12 << CAP.max_poses=64
+    full = gn.optimize(g, dataclasses.replace(CFG, solve_bucket_step=0))
+    for step in (16, 64):
+        bucketed = gn.optimize(g, dataclasses.replace(CFG, solve_bucket_step=step))
+        np.testing.assert_array_equal(np.asarray(full.poses),
+                                      np.asarray(bucketed.poses))
+        np.testing.assert_array_equal(np.asarray(full.lm_xy),
+                                      np.asarray(bucketed.lm_xy))

@@ -46,6 +46,11 @@ class GNConfig:
     fix_first_landmarks: int = 2                   # vertices 0,1 (src/slam.cpp:470-474)
     damping: float = 0.0                           # optional Levenberg diag boost
     use_cholesky_kernel: bool = False              # route S solve through Pallas
+    solve_bucket_step: int = 128                   # pose-count granularity of the
+    # bucketed reduced solve (0 disables). The Cholesky + Schur product run on
+    # the smallest bucket covering n_poses instead of the full capacity; the
+    # padding region of the gauged system is exactly identity/zero, so every
+    # bucket yields bit-identical updates to the full solve.
 
 
 def _block_idx(idx, bs):
@@ -254,13 +259,53 @@ def schur_solve(hpp, w_mat, hll, gp, gl, use_cholesky_kernel=False):
     return dp, dl
 
 
+def _pose_buckets(max_poses: int, step: int):
+    """Pose-count buckets: multiples of `step` up to capacity (capacity last)."""
+    sizes = list(range(step, max_poses, step))
+    sizes.append(max_poses)
+    return sizes
+
+
+def _bucketed_schur_solve(n_poses, hpp, w_mat, hll, gp, gl, cfg: GNConfig):
+    """Solve on the smallest pose bucket covering n_poses (lax.switch).
+
+    The gauged system's rows past n_poses are exactly identity (Hpp) and zero
+    (W, gp), so factorizing the leading [3b, 3b] block is bit-identical to the
+    full factorization while the O(b^3) / O(b^2 L) costs track the *active*
+    graph, not the capacity. Early/periodic optimizations on a growing graph
+    stop paying for the empty tail.
+    """
+    p_cap = hpp.shape[0] // 3
+    buckets = _pose_buckets(p_cap, cfg.solve_bucket_step)
+    sel = jnp.searchsorted(jnp.asarray(buckets, jnp.int32),
+                           n_poses.astype(jnp.int32), side="left")
+    sel = jnp.minimum(sel, len(buckets) - 1)
+
+    def make_branch(b):
+        def branch(ops):
+            hpp, w_mat, hll, gp, gl = ops
+            dp_b, dl = schur_solve(
+                hpp[:3 * b, :3 * b], w_mat[:3 * b], hll, gp[:3 * b], gl,
+                use_cholesky_kernel=cfg.use_cholesky_kernel)
+            dp = jnp.zeros((3 * p_cap,), dp_b.dtype).at[:3 * b].set(dp_b)
+            return dp, dl
+        return branch
+
+    return jax.lax.switch(sel, [make_branch(b) for b in buckets],
+                          (hpp, w_mat, hll, gp, gl))
+
+
 @partial(jax.jit, static_argnames="cfg")
 def gn_step(g: FactorGraph, cfg: GNConfig) -> FactorGraph:
     """One Gauss-Newton iteration over the full graph."""
     with jax.default_matmul_precision("highest"):
         blocks = assemble(g, cfg)
         blocks = _apply_gauge(g, cfg, *blocks)
-        dp, dl = schur_solve(*blocks, use_cholesky_kernel=cfg.use_cholesky_kernel)
+        if cfg.solve_bucket_step > 0:
+            dp, dl = _bucketed_schur_solve(g.n_poses, *blocks, cfg)
+        else:
+            dp, dl = schur_solve(*blocks,
+                                 use_cholesky_kernel=cfg.use_cholesky_kernel)
     d_pose = dp.reshape(-1, 3)
     poses = g.poses + d_pose
     poses = poses.at[:, 2].set(se2.wrap_angle(poses[:, 2]))
