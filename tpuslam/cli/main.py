@@ -236,7 +236,19 @@ def main(argv=None):
     pv.add_argument("--out", default="slam_map.png")
     pv.set_defaults(fn=cmd_viz)
 
+    p.add_argument("--platform", choices=["cpu", "tpu"], default=None,
+                   help="force the JAX backend (some environments register a "
+                        "TPU plugin that ignores JAX_PLATFORMS)")
+    for sp in (pr, pp, ps, pb, pe, pm, pv):
+        # SUPPRESS: a subcommand without the flag must not clobber a
+        # pre-subcommand --platform (argparse overwrites parent defaults)
+        sp.add_argument("--platform", choices=["cpu", "tpu"],
+                        default=argparse.SUPPRESS, help=argparse.SUPPRESS)
+
     args = p.parse_args(argv)
+    if getattr(args, "platform", None):
+        import jax
+        jax.config.update("jax_platforms", args.platform)
     return args.fn(args)
 
 
