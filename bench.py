@@ -87,6 +87,30 @@ def main():
     dt = time.perf_counter() - t0
     fps_tpu = n_pass * t_frames / dt
 
+    # batched multi-session throughput on the same chip: vmap over S
+    # independent sessions amortizes the per-op dispatch of this tiny-state
+    # workload — the single-chip half of "multi-session pod-scale mapping"
+    from tpuslam.parallel.batch import initial_states, run_sequences_batched
+    n_sess = 8
+    scens_b = [simulate(trackdrive(seed=11), SimConfig(
+        laps=1.4, keyframe_dt=0.1, speed=8.0, max_range=20.0, seed=20 + s))
+        for s in range(n_sess)]
+    t_b = min(t_frames, *(len(sc.times) for sc in scens_b))
+    obs_b = jnp.stack([jnp.asarray(sc.obs[:t_b], jnp.float32) for sc in scens_b])
+    valid_b = jnp.stack([jnp.asarray(sc.obs_valid[:t_b]) for sc in scens_b])
+    poses_b = jnp.stack([jnp.asarray(sc.odom_poses[:t_b], jnp.float32)
+                         for sc in scens_b])
+    sts = initial_states(cap, n_sess)
+    sts, _ = run_sequences_batched(sts, obs_b, valid_b, poses_b, cfg)  # warm
+    _ = int(sts.graph.n_poses[0])
+    n_pass_b = 3
+    t0 = time.perf_counter()
+    for _ in range(n_pass_b):
+        sts = initial_states(cap, n_sess)
+        sts, _ = run_sequences_batched(sts, obs_b, valid_b, poses_b, cfg)
+        _ = int(sts.graph.n_poses[0])  # hard sync
+    fps_batched = n_pass_b * n_sess * t_b / (time.perf_counter() - t0)
+
     # measured CPU baseline (reference-semantics golden frontend)
     gold = GoldenSlam()
     t0 = time.perf_counter()
@@ -106,6 +130,8 @@ def main():
         "vs_baseline": round(fps_tpu / fps_gold, 2),
         "baseline_fps_cpu_golden": round(fps_gold, 2),
         "reference_design_bound_fps": reference_design_bound_fps,
+        "batched_sessions": n_sess,
+        "batched_frames_per_sec_per_chip": round(fps_batched, 2),
         "ate_m": round(float(ate_m), 4),
         "ate_improved_online_m": round(float(ate_improved), 4),
         "ate_improved_final_m": round(float(ate_improved_final), 4),

@@ -185,3 +185,25 @@ def test_od4_session_loopback():
     assert env.senderStamp == 9
     msg = E.unpack_message(env)
     assert msg.objectId == 5 and msg.type == 3
+
+
+def test_od4_session_stop_idempotent_and_send_after_stop():
+    """Clean-shutdown semantics (the reference's TerminateHandler analogue,
+    cluon-complete-build.hpp:5012): stop() cancels the pipeline and closes the
+    transport; a second stop() and a send() after stop must not raise."""
+    import asyncio
+
+    from tpuslam.io.messages import GeodeticHeadingReading
+    from tpuslam.io.od4 import OD4Session
+
+    async def scenario():
+        s = OD4Session(cid=199)
+        await s.start()
+        assert s.running
+        await s.stop()
+        assert not s.running
+        await s.stop()          # idempotent
+        s.send(GeodeticHeadingReading(northHeading=0.5))  # no transport -> no-op/queued
+        return True
+
+    assert asyncio.run(scenario())

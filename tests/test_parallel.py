@@ -115,3 +115,41 @@ def test_chain_partitioner_rejects_overflow():
     import pytest
     with pytest.raises(ValueError):
         partition_edges_by_pose_block(g, 32)
+
+
+def test_batched_sessions_match_sequential():
+    """vmapped multi-session pipeline == per-session run_sequence, exactly."""
+    import numpy as np
+    import jax.numpy as jnp
+    from tpuslam.backend.graph import GraphCapacity
+    from tpuslam.frontend.pipeline import run_sequence
+    from tpuslam.frontend.state import initial_state
+    from tpuslam.parallel.batch import initial_states, run_sequences_batched
+    from tpuslam.runtime.config import SlamConfig
+    from tpuslam.sim import SimConfig, simulate, skidpad, trackdrive
+
+    cap = GraphCapacity(max_poses=64, max_landmarks=128, max_obs=2048)
+    cfg = SlamConfig(capacity=cap)
+    scens = [simulate(skidpad(), SimConfig(laps=1.1, keyframe_dt=0.25, seed=s))
+             for s in (1, 2)]
+    t = min(len(sc.times) for sc in scens)
+    obs = jnp.stack([jnp.asarray(sc.obs[:t], jnp.float32) for sc in scens])
+    valid = jnp.stack([jnp.asarray(sc.obs_valid[:t]) for sc in scens])
+    poses = jnp.stack([jnp.asarray(sc.odom_poses[:t], jnp.float32) for sc in scens])
+
+    states = initial_states(cap, 2)
+    fin, outs = run_sequences_batched(states, obs, valid, poses, cfg)
+
+    for s in range(2):
+        st = initial_state(cap)
+        st, out1 = run_sequence(st, obs[s], valid[s], poses[s], cfg)
+        # vmap rebatches the GN matmuls, so agreement is to float noise
+        # (reassociation), not bit-exact
+        np.testing.assert_allclose(np.asarray(out1.pose),
+                                   np.asarray(outs.pose[s]), atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(st.graph.lm_xy),
+            np.asarray(jax.tree.map(lambda x: x[s], fin).graph.lm_xy),
+            atol=1e-5)
+        assert bool(st.loop_closure_complete) == bool(fin.loop_closure_complete[s])
+        assert int(st.graph.n_landmarks) == int(fin.graph.n_landmarks[s])

@@ -46,6 +46,13 @@ class GNConfig:
     fix_first_landmarks: int = 2                   # vertices 0,1 (src/slam.cpp:470-474)
     damping: float = 0.0                           # optional Levenberg diag boost
     use_cholesky_kernel: bool = False              # route S solve through Pallas
+    matmul_precision: str = "highest"              # MXU passes for assembly/Schur:
+    # "highest" = full f32 (6-pass bf16); "high" = 3-pass; "default" = raw
+    # bf16. The normal equations square the conditioning, so "default" is
+    # unsafe near closure-scale graphs; "high" trades ~2x matmul throughput
+    # for ~1e-3 relative error (mixed-precision graph optimization a la
+    # Graphite, PAPERS.md [2]). The reduced-system Cholesky itself always
+    # runs in f32.
     solve_bucket_step: int = 128                   # pose-count granularity of the
     # bucketed reduced solve (0 disables). The Cholesky + Schur product run on
     # the smallest bucket covering n_poses instead of the full capacity; the
@@ -298,7 +305,7 @@ def _bucketed_schur_solve(n_poses, hpp, w_mat, hll, gp, gl, cfg: GNConfig):
 @partial(jax.jit, static_argnames="cfg")
 def gn_step(g: FactorGraph, cfg: GNConfig) -> FactorGraph:
     """One Gauss-Newton iteration over the full graph."""
-    with jax.default_matmul_precision("highest"):
+    with jax.default_matmul_precision(cfg.matmul_precision):
         blocks = assemble(g, cfg)
         blocks = _apply_gauge(g, cfg, *blocks)
         if cfg.solve_bucket_step > 0:

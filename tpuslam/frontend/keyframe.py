@@ -51,9 +51,11 @@ def _gn_config(cfg: SlamConfig) -> gn.GNConfig:
         # absolute priors anchor the graph; no gauge clamping needed
         return gn.GNConfig(odo_info=cfg.odo_info, lm_info=cfg.lm_info,
                            iterations=cfg.gn_iterations,
-                           fix_first_poses=0, fix_first_landmarks=0)
+                           fix_first_poses=0, fix_first_landmarks=0,
+                           matmul_precision=cfg.gn_matmul_precision)
     return gn.GNConfig(odo_info=cfg.odo_info, lm_info=cfg.lm_info,
-                       iterations=cfg.gn_iterations)
+                       iterations=cfg.gn_iterations,
+                       matmul_precision=cfg.gn_matmul_precision)
 
 
 def _body_xy(ob, cfg: SlamConfig):
@@ -79,7 +81,7 @@ def _prefix_argmin_exclusive(vals, idxs):
 
 
 def _mapping_step_vectorized(state: SlamState, obs, obs_valid, pose, pose_idx,
-                             cfg: SlamConfig):
+                             cfg: SlamConfig, defer_gn: bool = False):
     """Batched mapping-mode update — exactly the reference's sequential
     semantics (src/slam.cpp:552-635) re-expressed as vector ops.
 
@@ -191,15 +193,17 @@ def _mapping_step_vectorized(state: SlamState, obs, obs_valid, pose, pose_idx,
     )
 
     do_opt = closing & ~state.loop_closure_complete
-    g = jax.lax.cond(do_opt, lambda gg: gn.optimize(gg, _gn_config(cfg)),
-                     lambda gg: gg, g)
+    if not defer_gn:
+        g = jax.lax.cond(do_opt, lambda gg: gn.optimize(gg, _gn_config(cfg)),
+                         lambda gg: gg, g)
     return dataclasses.replace(
         state, graph=g, current_cone_index=cur, loop_closing=closing,
         loop_closure_complete=state.loop_closure_complete | closing,
     ), do_opt
 
 
-def _mapping_step(state: SlamState, obs, obs_valid, pose, pose_idx, cfg: SlamConfig):
+def _mapping_step(state: SlamState, obs, obs_valid, pose, pose_idx,
+                  cfg: SlamConfig, defer_gn: bool = False):
     """Reference-faithful mapping-mode update (src/slam.cpp:552-635)."""
     g = state.graph
     thresh2 = cfg.same_cone_threshold * cfg.same_cone_threshold
@@ -265,7 +269,8 @@ def _mapping_step(state: SlamState, obs, obs_valid, pose, pose_idx, cfg: SlamCon
     def run_opt(gg):
         return gn.optimize(gg, _gn_config(cfg))
 
-    g = jax.lax.cond(do_opt, run_opt, lambda gg: gg, g)
+    if not defer_gn:
+        g = jax.lax.cond(do_opt, run_opt, lambda gg: gg, g)
     return dataclasses.replace(
         state, graph=g, current_cone_index=cur, loop_closing=closing,
         loop_closure_complete=state.loop_closure_complete | closing,
@@ -348,9 +353,17 @@ def _cone_packet(state: SlamState, out_pose, cfg: SlamConfig):
     return az, dist, g.lm_type[idx]
 
 
-@partial(jax.jit, static_argnames="cfg", donate_argnames="state")
-def perform_keyframe(state: SlamState, obs, obs_valid, pose, cfg: SlamConfig):
-    """Full keyframe update. obs [N,4] = (az_deg, zen_deg, dist, type)."""
+@partial(jax.jit, static_argnames=("cfg", "defer_gn"), donate_argnames="state")
+def perform_keyframe(state: SlamState, obs, obs_valid, pose, cfg: SlamConfig,
+                     defer_gn: bool = False):
+    """Full keyframe update. obs [N,4] = (az_deg, zen_deg, dist, type).
+
+    defer_gn=True skips the in-step GN conds and returns `wants_gn` in the
+    outputs instead — for vmapped multi-session execution, where a batched
+    lax.cond would otherwise run the optimizer's *both* branches every frame
+    for every session. The caller triggers one batched GN on the (rare)
+    frames where any session wants it (see tpuslam/parallel/batch.py).
+    """
     # GPS outlier guard (reference src/slam.cpp:300-303)
     ok_pose = (jnp.abs(pose[0]) <= cfg.gps_outlier_bound) & \
               (jnp.abs(pose[1]) <= cfg.gps_outlier_bound)
@@ -372,7 +385,8 @@ def perform_keyframe(state: SlamState, obs, obs_valid, pose, cfg: SlamConfig):
         def mapping(state):
             step = (_mapping_step_vectorized if cfg.vectorized_mapping
                     else _mapping_step)
-            st, closed = step(state, obs, obs_valid, pose, pose_idx, cfg)
+            st, closed = step(state, obs, obs_valid, pose, pose_idx, cfg,
+                              defer_gn)
             return st, pose, closed, jnp.asarray(False)
 
         def localization(state):
@@ -391,29 +405,38 @@ def perform_keyframe(state: SlamState, obs, obs_valid, pose, cfg: SlamConfig):
             state.loop_closure_complete, localization, mapping, state)
 
         # Optional periodic full re-optimization (improvement; off in compat)
+        wants_periodic = jnp.asarray(False)
         if cfg.periodic_gn_every > 0:
             do = (state.keyframe_count % cfg.periodic_gn_every == 0) & \
                  (state.graph.n_landmarks > 4)
-            periodic_cfg = dataclasses.replace(
-                _gn_config(cfg), iterations=cfg.periodic_gn_iterations)
-            new_g = jax.lax.cond(
-                do, lambda gg: gn.optimize(gg, periodic_cfg), lambda gg: gg,
-                state.graph)
-            state = dataclasses.replace(state, graph=new_g)
+            if defer_gn:
+                wants_periodic = do
+            else:
+                periodic_cfg = dataclasses.replace(
+                    _gn_config(cfg), iterations=cfg.periodic_gn_iterations)
+                new_g = jax.lax.cond(
+                    do, lambda gg: gn.optimize(gg, periodic_cfg),
+                    lambda gg: gg, state.graph)
+                state = dataclasses.replace(state, graph=new_g)
         if cfg.use_gps_prior:
             # mapping mode: publish the graph's latest pose (refreshed by the
             # periodic GN) instead of raw odometry. Localization mode keeps
             # the localizer-refined pose, which is strictly better.
             use_graph = ~state.loop_closure_complete & (state.graph.n_landmarks > 4)
             out_pose = jnp.where(use_graph, state.graph.poses[pose_idx], out_pose)
-        return state, out_pose, closed, send
+        return state, out_pose, closed, send, wants_periodic
 
     def skip(state):
-        return state, pose, jnp.asarray(False), jnp.asarray(False)
+        return (state, pose, jnp.asarray(False), jnp.asarray(False),
+                jnp.asarray(False))
 
-    state, out_pose, closed, send = jax.lax.cond(ok_pose, run, skip, state)
+    state, out_pose, closed, send, wants_periodic = jax.lax.cond(
+        ok_pose, run, skip, state)
     az, dist, ctype = _cone_packet(state, out_pose, cfg)
     outputs = KeyframeOutputs(pose=out_pose, cone_azimuth=az, cone_distance=dist,
                               cone_type=ctype, send=send, loop_closed=closed,
                               n_landmarks=state.graph.n_landmarks)
+    if defer_gn:
+        # deferred mode: `closed` means the closure GN is WANTED, not run
+        return state, outputs, closed, wants_periodic
     return state, outputs

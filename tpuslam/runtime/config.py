@@ -61,6 +61,9 @@ class SlamConfig:
                                           # (replaces gauge clamping)
     gps_prior_std: float = 0.15           # GPS xy sigma [m] for the prior
     heading_prior_std: float = 0.05       # heading sigma [rad] for the prior
+    gn_matmul_precision: str = "highest"  # MXU precision for GN assembly/Schur
+                                          # ("highest"|"high"|"default"); see
+                                          # GNConfig.matmul_precision
 
     # --- capacities (static shapes) ---
     capacity: GraphCapacity = field(default_factory=GraphCapacity)
