@@ -169,3 +169,18 @@ def test_bucketed_solve_bit_identical_to_full():
                                       np.asarray(bucketed.poses))
         np.testing.assert_array_equal(np.asarray(full.lm_xy),
                                       np.asarray(bucketed.lm_xy))
+
+
+def test_edge_bucketed_assembly_equivalent():
+    """Edge-bucketed assembly == full assembly up to f32 reduction-order
+    rounding: the sliced-away tail is exactly zero-weight padding, but the
+    shorter segment_sum reduces in a different tree order."""
+    poses, lms, obs = _build_world(n_poses=12, n_lm=8)
+    g = _as_factor_graph(poses, lms, obs)  # n_obs << CAP.max_obs=256
+    full = gn.optimize(g, dataclasses.replace(CFG, edge_bucket_step=0))
+    for step in (32, 256):
+        bucketed = gn.optimize(g, dataclasses.replace(CFG, edge_bucket_step=step))
+        np.testing.assert_allclose(np.asarray(full.poses),
+                                   np.asarray(bucketed.poses), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(full.lm_xy),
+                                   np.asarray(bucketed.lm_xy), atol=1e-5)

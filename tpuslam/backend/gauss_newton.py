@@ -58,6 +58,12 @@ class GNConfig:
     # the smallest bucket covering n_poses instead of the full capacity; the
     # padding region of the gauged system is exactly identity/zero, so every
     # bucket yields bit-identical updates to the full solve.
+    edge_bucket_step: int = 4096                   # edge-count granularity of the
+    # assembly (0 disables). Landmark-edge residuals/scatters run on the
+    # smallest bucket covering n_obs; the edge list is append-only, so the
+    # sliced-away tail is exactly the zero-weight padding. Equivalent up to
+    # f32 reduction-order rounding (the shorter segment_sum uses a different
+    # reduction tree), unlike the pose bucketing which is bit-identical.
 
 
 def _block_idx(idx, bs):
@@ -195,9 +201,29 @@ def assemble(g: FactorGraph, cfg: GNConfig):
     h_diag, h_off, gp_o = assemble_odometry(g, cfg)
     w_l = (jnp.asarray(cfg.lm_info, g.poses.dtype)
            * g.obs_valid.astype(g.poses.dtype))
-    h_diag_lm, w_mat, hll, gp_lm, gl = landmark_edge_blocks(
-        g.poses, g.lm_xy, g.obs_pose, g.obs_lm, g.obs_xy, w_l,
-        cap.max_landmarks)
+
+    if cfg.edge_bucket_step > 0 and cfg.edge_bucket_step < cap.max_obs:
+        # run the edge scatters on the smallest bucket covering n_obs — the
+        # edge list is append-only, so the dropped tail is zero-weight padding
+        buckets = _pose_buckets(cap.max_obs, cfg.edge_bucket_step)
+        sel = jnp.minimum(
+            jnp.searchsorted(jnp.asarray(buckets, jnp.int32),
+                             g.n_obs.astype(jnp.int32), side="left"),
+            len(buckets) - 1)
+
+        def make_branch(b):
+            def branch(_):
+                return landmark_edge_blocks(
+                    g.poses, g.lm_xy, g.obs_pose[:b], g.obs_lm[:b],
+                    g.obs_xy[:b], w_l[:b], cap.max_landmarks)
+            return branch
+
+        h_diag_lm, w_mat, hll, gp_lm, gl = jax.lax.switch(
+            sel, [make_branch(b) for b in buckets], 0)
+    else:
+        h_diag_lm, w_mat, hll, gp_lm, gl = landmark_edge_blocks(
+            g.poses, g.lm_xy, g.obs_pose, g.obs_lm, g.obs_xy, w_l,
+            cap.max_landmarks)
     hpp = densify_hpp(h_diag + h_diag_lm, h_off)
     gp = (gp_o + gp_lm).reshape(-1)
     return hpp, w_mat, hll, gp, gl

@@ -149,7 +149,9 @@ def _mapping_step_vectorized(state: SlamState, obs, obs_valid, pose, pose_idx,
     lower = jnp.arange(n)[:, None] > jnp.arange(n)[None, :]   # k < i
     gsame = (otype[:, None] == otype[None, :]) & (gd2 < thresh2) & lower
     is_new = cand
-    for _ in range(8):  # first-representative fixpoint (chain depth <= 8)
+    for _ in range(cfg.in_frame_dup_depth):
+        # first-representative fixpoint; physical layouts have chain depth
+        # <= 1 (duplicates of duplicates need cones packed within the gate)
         dup_of_new = jnp.any(gsame & is_new[None, :], axis=1)
         is_new = cand & ~dup_of_new
     rep_ok = gsame & is_new[None, :]
@@ -181,7 +183,14 @@ def _mapping_step_vectorized(state: SlamState, obs, obs_valid, pose, pose_idx,
 
     # --- contiguous edge-block append (keeps reference insertion order)
     keep = matched | ((is_new | is_dup) & slot_ok)
-    perm = jnp.argsort(~keep, stable=True)
+    # stable keep-first permutation via rank arithmetic (a sort network for
+    # this is ~10x the ops): pos[i] = destination of element i, perm = pos^-1
+    keep_i = keep.astype(jnp.int32)
+    n_keep = jnp.sum(keep_i)
+    rank_keep = jnp.cumsum(keep_i) - keep_i
+    rank_drop = jnp.cumsum(1 - keep_i) - (1 - keep_i)
+    pos = jnp.where(keep, rank_keep, n_keep + rank_drop)
+    perm = jnp.zeros((n,), jnp.int32).at[pos].set(jnp.arange(n, dtype=jnp.int32))
     base = jnp.minimum(g.n_obs, cap_e - n)
     g = dataclasses.replace(
         g,

@@ -52,6 +52,10 @@ class SlamConfig:
     obs_noise_std: float = 0.3            # assumed obs sigma for Mahalanobis covariances
     vectorized_mapping: bool = True       # batched mapping step (same semantics,
                                           # ~10x faster; False = lax.scan form)
+    in_frame_dup_depth: int = 4           # max same-frame duplicate-chain depth
+                                          # merged by the vectorized step; the
+                                          # scan form is unbounded (sequential);
+                                          # physical cone layouts have depth <= 1
     use_ekf_fusion: bool = False          # CTRV EKF fuses GPS/heading/yaw at
                                           # message rate; keyframes use the
                                           # filtered pose (improvement over
