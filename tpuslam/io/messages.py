@@ -44,6 +44,8 @@ def spec(cls):
 @dataclass
 class TimeStamp:
     ID: ClassVar[int] = 12
+    LONG_NAME: ClassVar[str] = "cluon.data.TimeStamp"
+    ODVD_TYPES: ClassVar = {"seconds": "int32", "microseconds": "int32"}
     FIELDS: ClassVar = [(1, VARINT_SIGNED, "seconds", None),
                         (2, VARINT_SIGNED, "microseconds", None)]
     seconds: int = 0
@@ -62,6 +64,9 @@ class TimeStamp:
 @dataclass
 class Envelope:
     ID: ClassVar[int] = 1
+    LONG_NAME: ClassVar[str] = "cluon.data.Envelope"
+    ODVD_TYPES: ClassVar = {"dataType": "int32", "serializedData": "bytes",
+                            "senderStamp": "uint32"}
     FIELDS: ClassVar = [(1, VARINT_SIGNED, "dataType", None),
                         (2, STRING, "serializedData", None),
                         (3, MESSAGE, "sent", TimeStamp),
@@ -80,6 +85,8 @@ class Envelope:
 @dataclass
 class GeodeticWgs84Reading:
     ID: ClassVar[int] = 19
+    LONG_NAME: ClassVar[str] = "opendlv.proxy.GeodeticWgs84Reading"
+    ODVD_TYPES: ClassVar = {"latitude": "double", "longitude": "double"}
     FIELDS: ClassVar = [(1, DOUBLE, "latitude", None),
                         (3, DOUBLE, "longitude", None)]
     latitude: float = 0.0
@@ -90,6 +97,10 @@ class GeodeticWgs84Reading:
 @dataclass
 class AngularVelocityReading:
     ID: ClassVar[int] = 1031
+    LONG_NAME: ClassVar[str] = "opendlv.proxy.AngularVelocityReading"
+    ODVD_TYPES: ClassVar = {"angularVelocityX": "float",
+                            "angularVelocityY": "float",
+                            "angularVelocityZ": "float"}
     FIELDS: ClassVar = [(1, FLOAT, "angularVelocityX", None),
                         (2, FLOAT, "angularVelocityY", None),
                         (3, FLOAT, "angularVelocityZ", None)]
@@ -102,6 +113,8 @@ class AngularVelocityReading:
 @dataclass
 class GeodeticHeadingReading:
     ID: ClassVar[int] = 1051
+    LONG_NAME: ClassVar[str] = "opendlv.proxy.GeodeticHeadingReading"
+    ODVD_TYPES: ClassVar = {"northHeading": "float"}
     FIELDS: ClassVar = [(1, FLOAT, "northHeading", None)]
     northHeading: float = 0.0
 
@@ -110,6 +123,9 @@ class GeodeticHeadingReading:
 @dataclass
 class Geolocation:
     ID: ClassVar[int] = 1116
+    LONG_NAME: ClassVar[str] = "opendlv.logic.sensation.Geolocation"
+    ODVD_TYPES: ClassVar = {"latitude": "double", "longitude": "double",
+                            "altitude": "float", "heading": "float"}
     FIELDS: ClassVar = [(1, DOUBLE, "latitude", None),
                         (2, DOUBLE, "longitude", None),
                         (3, FLOAT, "altitude", None),
@@ -124,6 +140,8 @@ class Geolocation:
 @dataclass
 class ObjectType:
     ID: ClassVar[int] = 1131
+    LONG_NAME: ClassVar[str] = "opendlv.logic.perception.ObjectType"
+    ODVD_TYPES: ClassVar = {"objectId": "uint32", "type": "uint32"}
     FIELDS: ClassVar = [(1, VARINT_UNSIGNED, "objectId", None),
                         (2, VARINT_UNSIGNED, "type", None)]
     objectId: int = 0
@@ -134,6 +152,9 @@ class ObjectType:
 @dataclass
 class ObjectDirection:
     ID: ClassVar[int] = 1133
+    LONG_NAME: ClassVar[str] = "opendlv.logic.perception.ObjectDirection"
+    ODVD_TYPES: ClassVar = {"objectId": "uint32", "azimuthAngle": "float",
+                            "zenithAngle": "float"}
     FIELDS: ClassVar = [(1, VARINT_UNSIGNED, "objectId", None),
                         (2, FLOAT, "azimuthAngle", None),
                         (3, FLOAT, "zenithAngle", None)]
@@ -146,6 +167,8 @@ class ObjectDirection:
 @dataclass
 class ObjectDistance:
     ID: ClassVar[int] = 1134
+    LONG_NAME: ClassVar[str] = "opendlv.logic.perception.ObjectDistance"
+    ODVD_TYPES: ClassVar = {"objectId": "uint32", "distance": "float"}
     FIELDS: ClassVar = [(1, VARINT_UNSIGNED, "objectId", None),
                         (2, FLOAT, "distance", None)]
     objectId: int = 0
@@ -158,6 +181,11 @@ class PointCloudReading:
     """opendlv.proxy.PointCloudReading [49] (odvd:160-166): compact per-
     azimuth distance blocks from the VLP-16 proxy."""
     ID: ClassVar[int] = 49
+    LONG_NAME: ClassVar[str] = "opendlv.proxy.PointCloudReading"
+    ODVD_TYPES: ClassVar = {"startAzimuth": "float", "endAzimuth": "float",
+                            "entriesPerAzimuth": "uint8",
+                            "distances": "bytes",
+                            "numberOfBitsForIntensity": "uint8"}
     FIELDS: ClassVar = [(1, FLOAT, "startAzimuth", None),
                         (2, FLOAT, "endAzimuth", None),
                         (3, VARINT_UNSIGNED, "entriesPerAzimuth", None),

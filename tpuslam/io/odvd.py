@@ -81,3 +81,38 @@ def build_message_classes(specs: list[MessageSpec], register: bool = False):
 def load_standard_message_set(path: str, register: bool = True):
     with open(path) as f:
         return build_message_classes(parse_odvd(f.read()), register=register)
+
+
+# ---------------------------------------------------------------------------
+# ODVD emitter (ToODVDVisitor equivalent,
+# reference src/cluon-complete-build.hpp:6675, impl :12901-13075):
+# regenerate the .odvd specification text from a message class. Output
+# round-trips through parse_odvd.
+# ---------------------------------------------------------------------------
+
+_ODVD_DEFAULT = {"bool": "false", "char": "'0'", "float": "0.0",
+                 "double": "0.0", "string": '""', "bytes": '""'}
+
+_KIND_FALLBACK = {M.VARINT_SIGNED: "int32", M.VARINT_UNSIGNED: "uint32",
+                  M.FLOAT: "float", M.DOUBLE: "double", M.STRING: "string"}
+
+
+def message_to_odvd(cls) -> str:
+    """Emit the ODVD message specification for a FIELDS-spec dataclass.
+    Nested message types are emitted as forward declarations first, exactly
+    like the reference visitor (:12901-12906)."""
+    forward = []
+    lines = [f"message {getattr(cls, 'LONG_NAME', cls.__name__)} "
+             f"[ id = {cls.ID} ] {{"]
+    odvd_types = getattr(cls, "ODVD_TYPES", {})
+    for fid, kind, name, nested in cls.FIELDS:
+        if kind == M.MESSAGE:
+            forward.append(message_to_odvd(nested))
+            tname = getattr(nested, "LONG_NAME", nested.__name__)
+            lines.append(f"    {tname} {name} [ id = {fid} ];")
+            continue
+        t = odvd_types.get(name, _KIND_FALLBACK[kind])
+        d = _ODVD_DEFAULT.get(t, "0")
+        lines.append(f"    {t} {name} [ default = {d}, id = {fid} ];")
+    lines.append("}")
+    return "".join(forward) + "\n".join(lines) + "\n"
