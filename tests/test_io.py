@@ -207,3 +207,78 @@ def test_od4_session_stop_idempotent_and_send_after_stop():
         return True
 
     assert asyncio.run(scenario())
+
+
+def test_od4_session_native_and_interop():
+    """Native C++ endpoint loopback + interop with the pure-Python endpoint
+    in both directions (same wire format, same bus)."""
+    from tpuslam.io.od4 import OD4Session
+    from tpuslam.native import receiver as nat
+
+    if not nat.available():
+        pytest.skip("native receiver library unavailable")
+
+    async def run():
+        rx_native = OD4Session(cid=198, native=True)
+        tx_python = OD4Session(cid=198, native=False)
+        rx_python = OD4Session(cid=198, native=False)
+        tx_native = OD4Session(cid=198, native=True)
+        got_native, got_python = [], []
+        rx_native.data_trigger(M.ObjectDistance.ID,
+                               lambda env: got_native.append(env))
+        rx_python.data_trigger(M.ObjectDirection.ID,
+                               lambda env: got_python.append(env))
+        try:
+            for s in (rx_native, tx_python, rx_python, tx_native):
+                await s.start()
+        except OSError:
+            pytest.skip("multicast sockets unavailable in sandbox")
+        assert rx_native._native_ep is not None  # really on the native path
+        for _ in range(40):
+            tx_python.send(M.ObjectDistance(objectId=1, distance=7.5),
+                           sender_stamp=3)
+            tx_native.send(M.ObjectDirection(objectId=2, azimuthAngle=-10.0),
+                           sender_stamp=4)
+            await asyncio.sleep(0.05)
+            if got_native and got_python:
+                break
+        for s in (rx_native, tx_python, rx_python, tx_native):
+            await s.stop()
+        return got_native, got_python
+
+    got_native, got_python = asyncio.run(run())
+    if not (got_native and got_python):
+        pytest.skip("multicast loopback not routed in this sandbox")
+    env = got_native[0]
+    assert env.senderStamp == 3
+    assert env.received.micros > 0  # kernel RX timestamp propagated
+    m1 = E.unpack_message(env)
+    assert m1.objectId == 1 and abs(m1.distance - 7.5) < 1e-6
+    m2 = E.unpack_message(got_python[0])
+    assert m2.objectId == 2
+
+
+def test_od4_native_self_send_filter():
+    """A native session must not receive its own datagrams
+    (reference cluon :9507-9513)."""
+    from tpuslam.io.od4 import OD4Session
+    from tpuslam.native import receiver as nat
+
+    if not nat.available():
+        pytest.skip("native receiver library unavailable")
+
+    async def run():
+        s = OD4Session(cid=197, native=True)
+        got = []
+        s.catch_all(lambda env: got.append(env))
+        try:
+            await s.start()
+        except OSError:
+            pytest.skip("multicast sockets unavailable in sandbox")
+        for _ in range(10):
+            s.send(M.ObjectType(objectId=1, type=1))
+            await asyncio.sleep(0.02)
+        await s.stop()
+        return got
+
+    assert asyncio.run(run()) == []

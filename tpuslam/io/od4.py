@@ -7,6 +7,12 @@ delegates (reference src/cluon-complete-build.hpp:7753-7845, 9129-9530,
 12779-12875). Here the same semantics are a single asyncio task + queue: the
 datagram callback enqueues, one consumer drains to the delegates — same
 decoupling, no threads, no mutexes.
+
+With `native=True` (default: auto) the socket path runs in the native C++
+endpoint (tpuslam/native/od4recv.cpp — the analogue of the reference's
+native UDPReceiver thread, with kernel RX timestamps and self-send
+filtering in C), drained in batches by one asyncio task; the dispatch
+semantics are identical either way.
 """
 from __future__ import annotations
 
@@ -30,7 +36,8 @@ def multicast_group(cid: int) -> str:
 class OD4Session:
     """Asyncio OD4 bus endpoint with cluon-compatible wire format."""
 
-    def __init__(self, cid: int, interface: str = "0.0.0.0"):
+    def __init__(self, cid: int, interface: str = "0.0.0.0",
+                 native: Optional[bool] = None):
         self.cid = cid
         self.group = multicast_group(cid)
         self.interface = interface
@@ -39,7 +46,10 @@ class OD4Session:
         self._transport = None
         self._queue: asyncio.Queue = asyncio.Queue(maxsize=4096)
         self._consumer_task = None
+        self._pump_task = None
         self._local_addr = None
+        self._native_ep = None
+        self._want_native = native
         self.running = False
 
     # ------------------------------------------------------------- delegates
@@ -67,8 +77,44 @@ class OD4Session:
         sock.setblocking(False)
         return sock
 
+    def _enqueue_datagram(self, data: bytes, recv_us: int):
+        pos = 0
+        while True:
+            env, pos = E.extract_envelope(data, pos)
+            if env is None:
+                break
+            env.received = M.TimeStamp.from_micros(recv_us)
+            try:
+                self._queue.put_nowait(env)
+            except asyncio.QueueFull:
+                pass  # shed load like a full kernel socket buffer
+
+    async def _pump_native(self):
+        """Batch-drain the native ring buffer into the dispatch queue. The
+        blocking wait runs in the default executor with the GIL released."""
+        loop = asyncio.get_running_loop()
+        while True:
+            n = await loop.run_in_executor(None, self._native_ep.wait, 0.05)
+            if n <= 0:
+                continue
+            for data, recv_us in self._native_ep.drain():
+                self._enqueue_datagram(data, recv_us)
+
     async def start(self):
         loop = asyncio.get_running_loop()
+        if self._want_native is not False:
+            try:
+                from tpuslam.native.receiver import NativeOD4Endpoint
+                self._native_ep = NativeOD4Endpoint(self.cid)
+            except Exception:
+                if self._want_native is True:
+                    raise
+                self._native_ep = None
+        if self._native_ep is not None:
+            self._pump_task = asyncio.create_task(self._pump_native())
+            self._consumer_task = asyncio.create_task(self._consume())
+            self.running = True
+            return
         sock = self._make_socket()
 
         class _Proto(asyncio.DatagramProtocol):
@@ -79,17 +125,7 @@ class OD4Session:
                 # self-sent filtering (reference cluon :9507-9513)
                 if addr == self._local_addr:
                     return
-                recv_us = E.now_us()
-                pos = 0
-                while True:
-                    env, pos = E.extract_envelope(data, pos)
-                    if env is None:
-                        break
-                    env.received = M.TimeStamp.from_micros(recv_us)
-                    try:
-                        self._queue.put_nowait(env)
-                    except asyncio.QueueFull:
-                        pass  # shed load like a full kernel socket buffer
+                self._enqueue_datagram(data, E.now_us())
 
         self._transport, _ = await loop.create_datagram_endpoint(
             _Proto, sock=sock)
@@ -114,7 +150,9 @@ class OD4Session:
         """Serialize + multicast one message (OD4Session::send)."""
         env = E.pack_message(msg, sample_us, sender_stamp)
         data = E.serialize_envelope(env)
-        if self._transport is not None:
+        if self._native_ep is not None:
+            self._native_ep.send(data)
+        elif self._transport is not None:
             self._transport.sendto(data, (self.group, OD4_PORT))
         return env
 
@@ -131,7 +169,17 @@ class OD4Session:
 
     async def stop(self):
         self.running = False
+        if self._pump_task:
+            self._pump_task.cancel()
+            try:
+                await self._pump_task
+            except asyncio.CancelledError:
+                pass
+            self._pump_task = None
         if self._consumer_task:
             self._consumer_task.cancel()
         if self._transport:
             self._transport.close()
+        if self._native_ep is not None:
+            ep, self._native_ep = self._native_ep, None
+            ep.close()
