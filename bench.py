@@ -75,22 +75,26 @@ def main():
     map_err_improved = float(np.median(np.linalg.norm(
         lm2[:, None, :] - track.cones_xy[None], axis=-1).min(axis=1)))
 
-    # timed passes (fresh state each; donation recycles buffers).
-    # NOTE: sync via a real host transfer per pass — on the axon backend
-    # block_until_ready alone does not reliably force remote execution.
+    # timed passes: each pass is ONE dispatch (state built inside the jit),
+    # all passes submitted back-to-back, then synced — the tunnel round trip
+    # is paid once, not per pass. Sync via real host transfers per pass — on
+    # the axon backend block_until_ready alone does not reliably force remote
+    # execution, and pulling every pass's scalar proves every pass ran.
+    from tpuslam.frontend.pipeline import run_pass
+    st, _ = run_pass(obs, valid, poses, cfg)  # warm/compile
+    _ = int(st.graph.n_poses)
     n_pass = 5
     t0 = time.perf_counter()
-    for _ in range(n_pass):
-        st = initial_state(cap)
-        st, _ = run_sequence(st, obs, valid, poses, cfg)
-        _ = int(st.graph.n_poses)  # hard sync
+    results = [run_pass(obs, valid, poses, cfg) for _ in range(n_pass)]
+    for st_i, _ in results:
+        _ = int(st_i.graph.n_poses)  # hard sync, pipelined
     dt = time.perf_counter() - t0
     fps_tpu = n_pass * t_frames / dt
 
     # batched multi-session throughput on the same chip: vmap over S
     # independent sessions amortizes the per-op dispatch of this tiny-state
     # workload — the single-chip half of "multi-session pod-scale mapping"
-    from tpuslam.parallel.batch import initial_states, run_sequences_batched
+    from tpuslam.parallel.batch import run_passes_batched
     n_sess = 8
     scens_b = [simulate(trackdrive(seed=11), SimConfig(
         laps=1.4, keyframe_dt=0.1, speed=8.0, max_range=20.0, seed=20 + s))
@@ -100,15 +104,14 @@ def main():
     valid_b = jnp.stack([jnp.asarray(sc.obs_valid[:t_b]) for sc in scens_b])
     poses_b = jnp.stack([jnp.asarray(sc.odom_poses[:t_b], jnp.float32)
                          for sc in scens_b])
-    sts = initial_states(cap, n_sess)
-    sts, _ = run_sequences_batched(sts, obs_b, valid_b, poses_b, cfg)  # warm
+    sts, _ = run_passes_batched(obs_b, valid_b, poses_b, cfg)  # warm/compile
     _ = int(sts.graph.n_poses[0])
     n_pass_b = 3
     t0 = time.perf_counter()
-    for _ in range(n_pass_b):
-        sts = initial_states(cap, n_sess)
-        sts, _ = run_sequences_batched(sts, obs_b, valid_b, poses_b, cfg)
-        _ = int(sts.graph.n_poses[0])  # hard sync
+    results_b = [run_passes_batched(obs_b, valid_b, poses_b, cfg)
+                 for _ in range(n_pass_b)]
+    for sts_i, _ in results_b:
+        _ = int(sts_i.graph.n_poses[0])  # hard sync, pipelined
     fps_batched = n_pass_b * n_sess * t_b / (time.perf_counter() - t0)
 
     # measured CPU baseline (reference-semantics golden frontend)

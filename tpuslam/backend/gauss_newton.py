@@ -64,6 +64,13 @@ class GNConfig:
     # sliced-away tail is exactly the zero-weight padding. Equivalent up to
     # f32 reduction-order rounding (the shorter segment_sum uses a different
     # reduction tree), unlike the pose bucketing which is bit-identical.
+    early_exit_tol: float = 0.0                    # stop iterating once the
+    # update's max |delta| falls to this tolerance (0 = run all iterations,
+    # exactly like the reference's fixed optimize(10), src/slam.cpp:481).
+    # GN on these graphs converges in 1-2 iterations (the remaining steps
+    # shuffle ~1e-5 f32 noise), so a tol above the noise floor cuts the
+    # closure solve ~5x while changing poses by less than the tolerance
+    # per skipped step.
 
 
 def _block_idx(idx, bs):
@@ -347,7 +354,30 @@ def gn_step(g: FactorGraph, cfg: GNConfig) -> FactorGraph:
 
 @partial(jax.jit, static_argnames="cfg")
 def optimize(g: FactorGraph, cfg: GNConfig) -> FactorGraph:
-    """Run `cfg.iterations` GN iterations (reference runs 10, src/slam.cpp:481)."""
-    def body(_, gg):
-        return gn_step(gg, cfg)
-    return jax.lax.fori_loop(0, cfg.iterations, body, g)
+    """Run `cfg.iterations` GN iterations (reference runs 10, src/slam.cpp:481).
+
+    With `cfg.early_exit_tol > 0` the loop stops as soon as an iteration's
+    max |update| (poses and landmarks) drops to the tolerance — same fixed
+    upper bound, measurably identical result (each skipped step would have
+    moved the estimate by less than the tolerance)."""
+    if cfg.early_exit_tol <= 0.0:
+        def body(_, gg):
+            return gn_step(gg, cfg)
+        return jax.lax.fori_loop(0, cfg.iterations, body, g)
+
+    tol = jnp.asarray(cfg.early_exit_tol, g.poses.dtype)
+
+    def cond(carry):
+        gg, i, delta = carry
+        return (i < cfg.iterations) & (delta > tol)
+
+    def body(carry):
+        gg, i, _ = carry
+        g2 = gn_step(gg, cfg)
+        delta = jnp.maximum(jnp.max(jnp.abs(g2.poses - gg.poses)),
+                            jnp.max(jnp.abs(g2.lm_xy - gg.lm_xy)))
+        return g2, i + 1, delta
+
+    out, _, _ = jax.lax.while_loop(
+        cond, body, (g, jnp.int32(0), jnp.asarray(jnp.inf, g.poses.dtype)))
+    return out

@@ -52,10 +52,12 @@ def _gn_config(cfg: SlamConfig) -> gn.GNConfig:
         return gn.GNConfig(odo_info=cfg.odo_info, lm_info=cfg.lm_info,
                            iterations=cfg.gn_iterations,
                            fix_first_poses=0, fix_first_landmarks=0,
-                           matmul_precision=cfg.gn_matmul_precision)
+                           matmul_precision=cfg.gn_matmul_precision,
+                           early_exit_tol=cfg.gn_early_exit_tol)
     return gn.GNConfig(odo_info=cfg.odo_info, lm_info=cfg.lm_info,
                        iterations=cfg.gn_iterations,
-                       matmul_precision=cfg.gn_matmul_precision)
+                       matmul_precision=cfg.gn_matmul_precision,
+                       early_exit_tol=cfg.gn_early_exit_tol)
 
 
 def _body_xy(ob, cfg: SlamConfig):

@@ -17,7 +17,7 @@ from tpuslam.frontend.keyframe import KeyframeOutputs, perform_keyframe
 from tpuslam.frontend.state import SlamState
 from tpuslam.runtime.config import SlamConfig
 
-__all__ = ["run_sequence"]
+__all__ = ["run_sequence", "run_pass"]
 
 
 @partial(jax.jit, static_argnames="cfg", donate_argnames="state")
@@ -35,3 +35,17 @@ def run_sequence(state: SlamState, obs_seq, valid_seq, pose_seq,
         return new_state, out
 
     return jax.lax.scan(step, state, (obs_seq, valid_seq, pose_seq))
+
+
+@partial(jax.jit, static_argnames="cfg")
+def run_pass(obs_seq, valid_seq, pose_seq, cfg: SlamConfig):
+    """One whole session from a fresh state, as a single XLA program.
+
+    Folding the state construction into the jit removes every per-pass host
+    dispatch except this call itself — on a remote-tunneled TPU each extra
+    dispatch costs a round trip, which dominates a ~100 ms workload.
+    Returns (final_state, stacked KeyframeOutputs).
+    """
+    from tpuslam.frontend.state import initial_state
+    state = initial_state(cfg.capacity)
+    return run_sequence.__wrapped__(state, obs_seq, valid_seq, pose_seq, cfg)

@@ -23,7 +23,7 @@ from tpuslam.frontend.keyframe import perform_keyframe
 from tpuslam.frontend.state import SlamState, initial_state
 from tpuslam.runtime.config import SlamConfig
 
-__all__ = ["initial_states", "run_sequences_batched"]
+__all__ = ["initial_states", "run_sequences_batched", "run_passes_batched"]
 
 
 def initial_states(cap, n_sessions: int) -> SlamState:
@@ -92,3 +92,14 @@ def run_sequences_batched(states: SlamState, obs_seq, valid_seq, pose_seq,
               jax.numpy.swapaxes(pose_seq, 0, 1))
     final, outs = jax.lax.scan(step, states, frames)
     return final, jax.tree.map(lambda x: jax.numpy.swapaxes(x, 0, 1), outs)
+
+
+@partial(jax.jit, static_argnames="cfg")
+def run_passes_batched(obs_seq, valid_seq, pose_seq, cfg: SlamConfig):
+    """`run_sequences_batched` from fresh states, as one XLA program —
+    the single-dispatch form for throughput benchmarking (state construction
+    inside the jit; no per-pass host round trips)."""
+    n_sessions = obs_seq.shape[0]
+    states = initial_states(cfg.capacity, n_sessions)
+    return run_sequences_batched.__wrapped__(states, obs_seq, valid_seq,
+                                             pose_seq, cfg)

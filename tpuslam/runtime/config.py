@@ -68,6 +68,14 @@ class SlamConfig:
     gn_matmul_precision: str = "highest"  # MXU precision for GN assembly/Schur
                                           # ("highest"|"high"|"default"); see
                                           # GNConfig.matmul_precision
+    gn_early_exit_tol: float = 1e-4       # stop GN once max|update| falls to
+                                          # this (0 = always run gn_iterations
+                                          # like the reference). These graphs
+                                          # converge in 1-2 iterations; the
+                                          # f32 noise floor is ~1e-5/step, so
+                                          # 1e-4 bounds the deviation from the
+                                          # full 10 passes well below ATE
+                                          # measurement noise.
 
     # --- capacities (static shapes) ---
     capacity: GraphCapacity = field(default_factory=GraphCapacity)
