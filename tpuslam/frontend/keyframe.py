@@ -67,6 +67,20 @@ def _body_xy(ob, cfg: SlamConfig):
     return xyz[..., :2]
 
 
+def _associate_shared(state: SlamState, obs, pose, cfg: SlamConfig):
+    """The association work shared by mapping and localization: observations
+    to global frame, body-frame measurements, and the (N x M) squared
+    distance matrix against the current map. Hoisted out of the
+    mapping/localization cond so a vmapped step (which executes both
+    branches) pays for it once."""
+    glob_all = jax.vmap(lambda ob: cone_to_global(
+        pose, ob[0], ob[1], ob[2], cfg.lidar_to_cog, cfg.reference_compat))(obs)
+    body_all = _body_xy(obs, cfg)
+    diff = glob_all[:, None, :] - state.graph.lm_xy[None, :, :]
+    d2 = jnp.sum(diff * diff, axis=-1)
+    return glob_all, body_all, d2
+
+
 def _prefix_argmin_exclusive(vals, idxs):
     """Running (min, argmin) over k < i, ties keeping the earliest — the
     vectorized form of the reference's `if (d < minDistance)` loop carry."""
@@ -83,7 +97,8 @@ def _prefix_argmin_exclusive(vals, idxs):
 
 
 def _mapping_step_vectorized(state: SlamState, obs, obs_valid, pose, pose_idx,
-                             cfg: SlamConfig, defer_gn: bool = False):
+                             cfg: SlamConfig, defer_gn: bool = False,
+                             pre=None):
     """Batched mapping-mode update — exactly the reference's sequential
     semantics (src/slam.cpp:552-635) re-expressed as vector ops.
 
@@ -106,9 +121,8 @@ def _mapping_step_vectorized(state: SlamState, obs, obs_valid, pose, pose_idx,
     cap_e = g.obs_pose.shape[0]
 
     # Bootstrap (reference src/slam.cpp:554-567), as in the sequential path.
-    glob_all = jax.vmap(lambda ob: cone_to_global(
-        pose, ob[0], ob[1], ob[2], cfg.lidar_to_cog, cfg.reference_compat))(obs)
-    body_all = _body_xy(obs, cfg)
+    glob_all, body_all, d2_pre = pre if pre is not None else \
+        _associate_shared(state, obs, pose, cfg)
     boot = (g.n_landmarks == 0) & obs_valid[0]
     g = G.add_landmark(g, glob_all[0], obs[0, 3].astype(jnp.int32), enable=boot)
     g = G.add_observation(g, pose_idx, jnp.int32(0), body_all[0], enable=boot)
@@ -116,9 +130,12 @@ def _mapping_step_vectorized(state: SlamState, obs, obs_valid, pose, pose_idx,
     otype = obs[:, 3].astype(jnp.int32)
     d2car = obs[:, 2]
 
-    # --- phase A: association against the pre-frame map (N x M)
-    diff = glob_all[:, None, :] - g.lm_xy[None, :, :]
-    d2 = jnp.sum(diff * diff, axis=-1)
+    # --- phase A: association against the pre-frame map (N x M).
+    # d2_pre was computed against the pre-bootstrap map; the bootstrap only
+    # writes landmark slot 0 when the map was empty, so patch that column.
+    diff0 = glob_all - g.lm_xy[0][None, :]
+    d2_col0 = jnp.sum(diff0 * diff0, axis=-1)
+    d2 = jnp.where(boot, d2_pre.at[:, 0].set(d2_col0), d2_pre)
     ok = ((g.lm_type[None, :] == otype[:, None]) & g.lm_valid[None, :]
           & (d2 < thresh2) & obs_valid[:, None])
     if cfg.association == "first":
@@ -309,7 +326,8 @@ def _pose_refine(pose, g: G.FactorGraph, idx, matched, meas_xy, iters=3):
                         lambda p: p, pose)
 
 
-def _localization_step(state: SlamState, obs, obs_valid, pose, cfg: SlamConfig):
+def _localization_step(state: SlamState, obs, obs_valid, pose, cfg: SlamConfig,
+                       pre=None):
     """Localization mode against the frozen map (reference src/slam.cpp:340-414).
 
     Vectorized: the reference's first-match-in-index-order per observation and
@@ -320,11 +338,9 @@ def _localization_step(state: SlamState, obs, obs_valid, pose, cfg: SlamConfig):
     add them; published results are identical.
     """
     g = state.graph
-    glob = jax.vmap(lambda ob: cone_to_global(pose, ob[0], ob[1], ob[2],
-                                              cfg.lidar_to_cog, cfg.reference_compat))(obs)
+    _glob, body_all, d2 = pre if pre is not None else \
+        _associate_shared(state, obs, pose, cfg)
     thresh2 = cfg.same_cone_threshold * cfg.same_cone_threshold
-    d = glob[:, None, :] - g.lm_xy[None, :, :]
-    d2 = jnp.sum(d * d, axis=-1)
     if cfg.reference_compat and cfg.localizer_type_bug:
         type_ok = (g.lm_type[None, :].astype(jnp.float32)
                    - obs[:, 3][:, None]) < 1e-4  # signed compare, src/slam.cpp:360
@@ -341,8 +357,7 @@ def _localization_step(state: SlamState, obs, obs_valid, pose, cfg: SlamConfig):
     send_cones = cur_new != state.current_cone_index
 
     if cfg.localizer_refine:
-        out_pose = _pose_refine(pose, g, j, matched, jax.vmap(
-            lambda ob: _body_xy(ob, cfg))(obs))
+        out_pose = _pose_refine(pose, g, j, matched, body_all)
     else:
         # reference publishes the latest vertex estimate, which is the
         # odometry pose just added (optimize disabled, src/slam.cpp:403-421)
@@ -392,19 +407,24 @@ def perform_keyframe(state: SlamState, obs, obs_valid, pose, cfg: SlamConfig,
         pose_idx = g.n_poses - 1
         state = dataclasses.replace(state, graph=g,
                                     keyframe_count=state.keyframe_count + 1)
+        # association work shared by both branches (a vmapped cond runs both)
+        pre = _associate_shared(state, obs, pose, cfg)
 
         def mapping(state):
-            step = (_mapping_step_vectorized if cfg.vectorized_mapping
-                    else _mapping_step)
-            st, closed = step(state, obs, obs_valid, pose, pose_idx, cfg,
-                              defer_gn)
+            if cfg.vectorized_mapping:
+                st, closed = _mapping_step_vectorized(
+                    state, obs, obs_valid, pose, pose_idx, cfg, defer_gn, pre)
+            else:
+                st, closed = _mapping_step(state, obs, obs_valid, pose,
+                                           pose_idx, cfg, defer_gn)
             return st, pose, closed, jnp.asarray(False)
 
         def localization(state):
             # reference requires >1 cones for a localization update
             # (src/slam.cpp:332)
             def loc(st):
-                st2, out_pose = _localization_step(st, obs, obs_valid, pose, cfg)
+                st2, out_pose = _localization_step(st, obs, obs_valid, pose,
+                                                   cfg, pre)
                 return st2, out_pose, jnp.asarray(False), jnp.asarray(True)
 
             def skip(st):

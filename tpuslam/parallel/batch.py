@@ -49,11 +49,13 @@ def run_sequences_batched(states: SlamState, obs_seq, valid_seq, pose_seq,
     GN handling: a vmapped `lax.cond` executes BOTH branches per frame, which
     would run the full optimizer every frame for every session. Instead the
     per-keyframe update runs with `defer_gn=True` (it only *flags* wanted
-    optimizations) and a single outer cond fires one batched GN on the rare
-    frames where any session wants one — sessions that didn't ask keep their
-    graphs via a masked select. Net effect: closure GN is applied after that
-    frame's outputs instead of within it (next frame onward sees the
-    optimized map; published trajectories are unchanged on these tracks).
+    optimizations) and an outer while_loop then optimizes exactly the
+    sessions that asked, one at a time via dynamic indexing — sessions close
+    their loops at different frames, so this costs one *unbatched* GN per
+    actual closure instead of an S-wide vmapped GN per closure frame. Net
+    effect: closure GN is applied after that frame's outputs instead of
+    within it (next frame onward sees the optimized map; published
+    trajectories are unchanged on these tracks).
     """
     from tpuslam.backend import gauss_newton as gn
     from tpuslam.frontend.keyframe import _gn_config
@@ -70,20 +72,28 @@ def run_sequences_batched(states: SlamState, obs_seq, valid_seq, pose_seq,
                 st, o, v, p, cfg, defer_gn=True)
         )(states, obs, valid, pose)
 
-        def run_batched_gn(states):
-            def per_session(g, wc, wp):
-                opt_close = gn.optimize(g, gcfg)
-                opt = opt_close if cfg.periodic_gn_every <= 0 else jax.tree.map(
-                    lambda a, b: jnp.where(wc, a, b),
-                    opt_close, gn.optimize(g, periodic_cfg))
-                return jax.tree.map(
-                    lambda a, b: jnp.where(wc | wp, a, b), opt, g)
-            graphs = jax.vmap(per_session)(states.graph, want_closure,
-                                           want_periodic)
-            return dc.replace(states, graph=graphs)
+        def gn_cond(carry):
+            _, wc, wp = carry
+            return jnp.any(wc | wp)
 
-        any_want = jnp.any(want_closure | want_periodic)
-        states = jax.lax.cond(any_want, run_batched_gn, lambda s: s, states)
+        def gn_one(carry):
+            st, wc, wp = carry
+            i = jnp.argmax(wc | wp)                # next session wanting GN
+            g_i = jax.tree.map(lambda x: x[i], st.graph)
+            if cfg.periodic_gn_every > 0:
+                g_opt = jax.lax.cond(wc[i],
+                                     lambda g: gn.optimize(g, gcfg),
+                                     lambda g: gn.optimize(g, periodic_cfg),
+                                     g_i)
+            else:
+                g_opt = gn.optimize(g_i, gcfg)
+            graphs = jax.tree.map(lambda full, one: full.at[i].set(one),
+                                  st.graph, g_opt)
+            return (dc.replace(st, graph=graphs),
+                    wc.at[i].set(False), wp.at[i].set(False))
+
+        states, _, _ = jax.lax.while_loop(
+            gn_cond, gn_one, (states, want_closure, want_periodic))
         return states, outs
 
     # scan over time, vmap over sessions: frame axis must lead for the scan
