@@ -281,3 +281,36 @@ def test_shared_memory_cross_process_notify():
             assert bytes(shm.data[:4]) == b"PING"
         finally:
             assert proc.wait(timeout=20) == 0
+
+
+# ---------------------------------------------------------------------------
+# JSON codec (To/FromJSONVisitor + EnvelopeConverter both directions)
+# ---------------------------------------------------------------------------
+
+
+def test_json_message_roundtrip():
+    from tpuslam.io.exporters import message_from_json, message_to_json
+    m = M.Geolocation(latitude=57.7, longitude=11.9, altitude=3.0, heading=0.5)
+    back = message_from_json(M.Geolocation, message_to_json(m))
+    assert back == m
+    env = M.Envelope(dataType=1116, serializedData=b"\x01\x02",
+                     sent=M.TimeStamp(seconds=4, microseconds=5))
+    back_env = message_from_json(M.Envelope, message_to_json(env))
+    assert back_env.serializedData == b"\x01\x02"
+    assert back_env.sent.seconds == 4
+    # unknown keys ignored, missing keep defaults
+    partial = message_from_json(M.ObjectType, '{"type": 2, "bogus": 1}')
+    assert partial.type == 2 and partial.objectId == 0
+
+
+def test_envelope_converter_roundtrip():
+    from tpuslam.io import envelope as E
+    from tpuslam.io.exporters import envelope_from_dict, envelope_to_dict
+    env = E.pack_message(M.ObjectDistance(objectId=4, distance=9.5),
+                         sample_us=123456, sender_stamp=118)
+    back = envelope_from_dict(envelope_to_dict(env))
+    assert back.dataType == env.dataType
+    assert back.senderStamp == 118
+    assert back.sampleTimeStamp.micros == 123456
+    m = E.unpack_message(back)
+    assert m.objectId == 4 and abs(m.distance - 9.5) < 1e-6

@@ -1,8 +1,10 @@
-"""Offline analysis exporters: .rec -> CSV / JSON-lines.
+"""Offline analysis exporters + JSON codec: .rec -> CSV / JSON-lines and back.
 
 Equivalents of the embedded cluon tools `cluon-rec2csv`
-(reference src/cluon-complete-build.hpp:16272-16464) and the JSON side of
-`EnvelopeConverter` (:7011). Exposed via `slamctl export`.
+(reference src/cluon-complete-build.hpp:16272-16464), the
+`ToJSONVisitor`/`FromJSONVisitor` pair (:6315, :6171), and both directions
+of `EnvelopeConverter` (:7011 — Envelope->JSON and JSON->proto-encoded
+Envelope). Exposed via `slamctl export`.
 """
 from __future__ import annotations
 
@@ -13,7 +15,8 @@ from typing import Iterable, Optional, TextIO
 from tpuslam.io import messages as M
 from tpuslam.io import envelope as E
 
-__all__ = ["envelope_to_dict", "rec_to_jsonl", "rec_to_csv"]
+__all__ = ["envelope_to_dict", "rec_to_jsonl", "rec_to_csv",
+           "message_to_json", "message_from_json", "envelope_from_dict"]
 
 
 def envelope_to_dict(env: M.Envelope) -> dict:
@@ -34,6 +37,68 @@ def envelope_to_dict(env: M.Envelope) -> dict:
         "sent_us": env.sent.micros,
         "payload": payload,
     }
+
+
+def message_to_json(msg) -> str:
+    """ToJSONVisitor equivalent: one message -> JSON object keyed by field
+    name (bytes fields base64'd like the reference, cluon :6315+)."""
+    import base64
+    d = {}
+    for _fid, kind, name, _nested in msg.FIELDS:
+        v = getattr(msg, name)
+        if kind == M.MESSAGE:
+            d[name] = json.loads(message_to_json(v))
+        elif isinstance(v, bytes):
+            d[name] = base64.b64encode(v).decode()
+        else:
+            d[name] = v
+    return json.dumps(d)
+
+
+def message_from_json(cls, text: str):
+    """FromJSONVisitor equivalent (reference :6171): populate a message
+    dataclass from a JSON object; unknown keys ignored, missing keep
+    defaults; bytes fields base64-decoded."""
+    import base64
+    d = json.loads(text) if isinstance(text, str) else dict(text)
+    msg = cls()
+    for _fid, kind, name, nested in cls.FIELDS:
+        if name not in d:
+            continue
+        v = d[name]
+        if kind == M.MESSAGE:
+            setattr(msg, name, message_from_json(nested, json.dumps(v)))
+        elif kind == M.STRING:
+            setattr(msg, name, base64.b64decode(v) if isinstance(v, str)
+                    else bytes(v))
+        else:
+            setattr(msg, name, v)
+    return msg
+
+
+def envelope_from_dict(d: dict) -> M.Envelope:
+    """EnvelopeConverter's JSON->Envelope direction (reference :7011): build
+    a wire-ready Envelope from the dict layout `envelope_to_dict` emits,
+    re-encoding the payload through the proto codec."""
+    from tpuslam.io import proto
+    cls = M.MESSAGE_REGISTRY.get(d["dataType"])
+    if cls is None:
+        raise KeyError(f"unknown dataType {d['dataType']}")
+    payload = d.get("payload", {})
+    msg = cls()
+    for _fid, kind, name, _nested in cls.FIELDS:
+        if name in payload:
+            v = payload[name]
+            if kind == M.STRING and isinstance(v, str):
+                v = v.encode("latin-1")
+            setattr(msg, name, v)
+    return M.Envelope(
+        dataType=d["dataType"],
+        serializedData=proto.encode(msg),
+        sent=M.TimeStamp.from_micros(d.get("sent_us", 0)),
+        sampleTimeStamp=M.TimeStamp.from_micros(d.get("sampleTimeStamp_us", 0)),
+        senderStamp=d.get("senderStamp", 0),
+    )
 
 
 def rec_to_jsonl(envelopes: Iterable[M.Envelope], out: TextIO,
