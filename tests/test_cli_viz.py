@@ -53,3 +53,52 @@ def test_cli_export(tmp_path, capsys):
     body = open(out2).read().splitlines()
     assert body[0].startswith("sampleTimeStamp_us;senderStamp;latitude")
     assert len(body) > 2
+
+
+def test_live_viewer_renders_and_follows(tmp_path):
+    """LiveViewer — the reference viewer-thread equivalent
+    (viewerbuild/src/viewer.cpp:15-60): renders the current state to a PNG
+    repeatedly as the state evolves."""
+    import os
+    import time
+
+    from tpuslam.core.slam import Slam
+    from tpuslam.runtime.config import SlamConfig
+    from tpuslam.sim import SimConfig, simulate, skidpad
+    from tpuslam.viz import LiveViewer
+
+    scen = simulate(skidpad(), SimConfig(laps=1.2, seed=0))
+    slam = Slam(SlamConfig())
+    png = str(tmp_path / "live.png")
+
+    viewer = LiveViewer(lambda: slam.state, png_path=png, interval_s=0.05)
+    # direct render before any frames (valid empty state)
+    assert viewer.render_once()
+    assert os.path.exists(png)
+    first_size = os.path.getsize(png)
+
+    with viewer:
+        slam.run_scenario(scen)
+        deadline = time.time() + 20
+        while viewer.frames_rendered < 3 and time.time() < deadline:
+            time.sleep(0.05)
+    assert viewer.frames_rendered >= 3
+    assert os.path.getsize(png) != first_size  # map got drawn
+
+
+def test_cli_replay_with_live_viewer(tmp_path):
+    """slamctl replay --viz-png drives the render thread end to end."""
+    import os
+
+    from tpuslam.cli.main import main as cli_main
+    from tpuslam.runtime.config import SlamConfig
+    from tpuslam.runtime.service import scenario_to_rec
+    from tpuslam.sim import SimConfig, simulate, skidpad
+
+    rec = str(tmp_path / "in.rec")
+    png = str(tmp_path / "live.png")
+    scen = simulate(skidpad(), SimConfig(laps=1.2, seed=0))
+    scenario_to_rec(scen, rec, SlamConfig())
+    rc = cli_main(["replay", rec, "--viz-png", png, "--viz-interval", "0.05"])
+    assert rc == 0
+    assert os.path.exists(png)

@@ -37,6 +37,10 @@ def _add_reference_flags(p: argparse.ArgumentParser):
                    help="disable reference-compat quirks (clean math mode)")
     p.add_argument("--association", default=None,
                    choices=["first", "nearest", "mahalanobis"])
+    p.add_argument("--viz-png", default=None, metavar="PATH",
+                   help="live viewer: continuously re-render the map to PATH "
+                        "(the reference viewer build's render thread)")
+    p.add_argument("--viz-interval", type=float, default=0.5)
 
 
 def _config_from_args(args):
@@ -59,6 +63,15 @@ def _config_from_args(args):
     return cfg
 
 
+def _maybe_viewer(args, svc):
+    """The reference viewer build's render thread (slamctl --viz-png)."""
+    if not getattr(args, "viz_png", None):
+        return None
+    from tpuslam.viz import LiveViewer
+    return LiveViewer(lambda: svc.slam.state, png_path=args.viz_png,
+                      interval_s=args.viz_interval).start()
+
+
 def cmd_run(args):
     from tpuslam.io.od4 import OD4Session
     from tpuslam.runtime.service import SlamService
@@ -67,10 +80,14 @@ def cmd_run(args):
     svc = SlamService(cfg, od4=od4)
     print(f"[slamctl] joining OD4 session {cfg.cid} "
           f"(group 225.0.0.{cfg.cid}:12175)", file=sys.stderr)
+    viewer = _maybe_viewer(args, svc)
     try:
         asyncio.run(svc.run_live())
     except KeyboardInterrupt:
         pass
+    finally:
+        if viewer:
+            viewer.stop()
     svc.metrics.dump_json(sys.stdout)
     return 0
 
@@ -79,7 +96,12 @@ def cmd_replay(args):
     from tpuslam.runtime.service import SlamService
     cfg = _config_from_args(args)
     svc = SlamService(cfg)
-    svc.run_replay(args.rec, paced=args.paced, speedup=args.speedup)
+    viewer = _maybe_viewer(args, svc)
+    try:
+        svc.run_replay(args.rec, paced=args.paced, speedup=args.speedup)
+    finally:
+        if viewer:
+            viewer.stop()
     if args.checkpoint:
         from tpuslam.runtime.checkpoint import save_checkpoint
         save_checkpoint(args.checkpoint, svc.slam.state, cfg)

@@ -4,8 +4,9 @@ The reference's optional viewer build renders live cones, the pose trail,
 the current pose + heading ray, and pose->cone graph edges with immediate-
 mode OpenGL on a Pangolin window (reference viewerbuild/src/drawer.cpp:22-118,
 viewer.cpp:43-60). Here the same four layers render with matplotlib to a
-window or PNG from a Slam instance, a SlamState, or a checkpoint file; a live
-window is refreshable via `slamctl viz --follow`.
+window or PNG from a Slam instance, a SlamState, or a checkpoint file; the
+live render-thread equivalent is `tpuslam.viz.LiveViewer` (`slamctl run
+--viz-png` / `slamctl replay --viz-png`).
 
 Cone colors by type follow the reference drawer (drawer.cpp:22-41):
 1 = yellow, 2 = blue, 3/4 = orange.
