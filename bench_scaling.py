@@ -58,7 +58,17 @@ def _build_session(cap, seed):
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--platform", choices=["cpu", "tpu"], default=None,
+                    help="force the JAX backend (some environments register "
+                         "a TPU plugin that ignores JAX_PLATFORMS; cpu + "
+                         "XLA_FLAGS=--xla_force_host_platform_device_count=8 "
+                         "gives the virtual validation mesh)")
+    args = ap.parse_args()
     import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     from tpuslam.backend import gauss_newton as gn
     from tpuslam.backend.graph import GraphCapacity
     from tpuslam.parallel import (make_slam_mesh, multisession_optimize,
@@ -79,8 +89,19 @@ def main():
         jax.block_until_ready(out.poses)
         return (time.perf_counter() - t0) / reps
 
+    import os
     results = {"devices": n_dev, "platform": mesh_kind,
-               "virtual_mesh": mesh_kind == "cpu"}
+               "virtual_mesh": mesh_kind == "cpu",
+               "host_cores": os.cpu_count()}
+    # A virtual mesh with fewer physical cores than devices (e.g. 8 virtual
+    # devices on a 2-core host) cannot exhibit real scaling — all "devices"
+    # time-slice the same cores and the collectives only add overhead. The
+    # numbers then validate the sharded execution path, not its efficiency;
+    # run on a real v5e slice for the BASELINE >=70% targets.
+    if mesh_kind == "cpu" and (os.cpu_count() or 0) < n_dev:
+        results["note"] = (f"{n_dev} virtual devices share "
+                           f"{os.cpu_count()} physical cores; efficiency "
+                           "figures are not meaningful on this mesh")
 
     # --- weak scaling over sessions
     g1 = _build_session(cap, 0)
@@ -95,6 +116,22 @@ def main():
         "t1_s": round(t_1, 4), "tN_s": round(t_n, 4),
         "sessions": n_dev, "efficiency": round(t_1 / t_n, 3),
     }
+
+    # --- N sessions: 1 device vs N devices (same total work). This is the
+    # one scaling number that stays meaningful on the virtual CPU mesh:
+    # the N-device run uses N host cores, the 1-device run one, so a real
+    # speedup here proves the sharded execution path parallelizes.
+    if n_dev > 1:
+        mesh_1xn = make_slam_mesh(n_sessions=1, n_edge_shards=1,
+                                  devices=devices[:1])
+        t_all_1 = timeit(
+            lambda: multisession_optimize(sn, cfg, mesh_1xn), reps=3)
+        results["throughput_scaling"] = {
+            "sessions": n_dev,
+            "t_1dev_s": round(t_all_1, 4), "t_Ndev_s": round(t_n, 4),
+            "speedup": round(t_all_1 / t_n, 3),
+            "efficiency": round(t_all_1 / (n_dev * t_n), 3),
+        }
 
     # --- strong scaling over the edge axis
     mesh_e1 = make_slam_mesh(n_sessions=1, n_edge_shards=1, devices=devices[:1])
