@@ -130,3 +130,29 @@ def test_trackdrive_multilap_improved_mode():
     # 0.6 m median is the realistic pre-closure mapping accuracy here.
     assert np.median(d.min(axis=1)) < 0.6
     assert d.min(axis=1).max() < 1.5
+
+
+def test_fault_injection_drop_dup_reorder():
+    """Input faults (SURVEY.md §5.3): dropped, duplicated, and reordered
+    frames must not crash the pipeline nor wreck the trajectory — the
+    keyframe gate and sample-time frame assembly absorb them."""
+    import numpy as np
+
+    from tpuslam.core.slam import Slam
+    from tpuslam.runtime.config import SlamConfig
+    from tpuslam.sim import SimConfig, simulate, skidpad
+    from tpuslam.sim.simulator import ate
+
+    cfg = SlamConfig()
+    scen = simulate(skidpad(), SimConfig(
+        laps=1.3, seed=5, drop_frame_prob=0.1, dup_frame_prob=0.1,
+        reorder_frame_prob=0.1))
+    assert scen.meta["n_frames"] > 10
+    # reordering actually happened (times are non-monotonic somewhere)
+    assert np.any(np.diff(scen.times) < 0)
+
+    slam = Slam(cfg)
+    est = slam.run_scenario(scen)
+    err = ate(est[:, :2], scen.gt_poses[:, :2])
+    assert np.isfinite(err) and err < 1.0, err
+    assert int(slam.state.graph.n_landmarks) > 10

@@ -113,3 +113,57 @@ def test_metrics_registry():
     out2 = pyio.StringIO()
     m.dump_events_jsonl(out2)
     assert '"kind": "closure"' in out2.getvalue()
+
+
+def test_checkpoint_resume_mid_run_exact():
+    """Elastic recovery (SURVEY.md §5.3-5.4): kill the engine mid-lap,
+    restore from the checkpoint in a fresh instance, continue — the final
+    map, graph, and trajectory tail are identical to an uninterrupted run.
+    The reference's only substitute is replaying the whole .rec from t=0."""
+    import numpy as np
+
+    from tpuslam.core.slam import Slam
+    from tpuslam.core.slam import _geo_from_local
+    from tpuslam.io import messages as M
+    from tpuslam.runtime.checkpoint import load_checkpoint, save_checkpoint
+    from tpuslam.runtime.config import SlamConfig
+    from tpuslam.sim import SimConfig, simulate, skidpad
+
+    cfg = SlamConfig()
+    scen = simulate(skidpad(), SimConfig(laps=1.3, seed=3))
+    T = len(scen.times)
+    k = T // 2
+
+    def feed(slam, t):
+        us = int(scen.times[t] * 1e6)
+        slam.next_pose(_geo_from_local(slam._gps_ref, scen.odom_poses[t]), us)
+        slam.next_yaw_rate(M.AngularVelocityReading(
+            angularVelocityZ=float(scen.yaw_rates[t])), us)
+        return slam.process_frame(scen.obs[t], scen.obs_valid[t], us)
+
+    # uninterrupted run
+    gold = Slam(cfg)
+    gold_tail = [np.asarray(feed(gold, t).pose) for t in range(T)][k:]
+
+    # interrupted run: checkpoint at frame k, restore into a fresh engine
+    a = Slam(cfg)
+    for t in range(k):
+        feed(a, t)
+    import tempfile, os
+    path = os.path.join(tempfile.mkdtemp(), "mid.npz")
+    save_checkpoint(path, a.state, cfg, extra={"host": a.snapshot_host()})
+
+    b = Slam(cfg)
+    state, meta = load_checkpoint(path, cfg)
+    b.state = state
+    b.restore_host(meta["host"])
+    resumed_tail = [np.asarray(feed(b, t).pose) for t in range(k, T)]
+
+    np.testing.assert_array_equal(np.stack(resumed_tail), np.stack(gold_tail))
+    np.testing.assert_array_equal(np.asarray(b.state.graph.lm_xy),
+                                  np.asarray(gold.state.graph.lm_xy))
+    np.testing.assert_array_equal(np.asarray(b.state.graph.poses),
+                                  np.asarray(gold.state.graph.poses))
+    assert int(b.state.graph.n_obs) == int(gold.state.graph.n_obs)
+    assert bool(b.state.loop_closure_complete) == \
+        bool(gold.state.loop_closure_complete)

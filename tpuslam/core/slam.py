@@ -274,6 +274,32 @@ class Slam:
         n = int(g.n_obs)
         return (np.asarray(g.obs_pose)[:n].copy(), np.asarray(g.obs_lm)[:n].copy())
 
+    # ------------------------------------------------------ checkpoint/resume
+    def snapshot_host(self) -> dict:
+        """Host-side ingest state for exact mid-run resume (the device state
+        lives in `self.state` and is captured by runtime.checkpoint). The
+        reference has no resume at all — its substitute is replaying the
+        whole .rec from t=0 (SURVEY.md §5.4)."""
+        return {
+            "odometry": [float(v) for v in self._odometry],
+            "yaw_rate": float(self._yaw_rate),
+            "yaw_received_us": int(self._yaw_received_us),
+            "geolocation_received_us": int(self._geolocation_received_us),
+            "keyframe_us": (None if self._keyframe_us is None
+                            else int(self._keyframe_us)),
+            "keyframes_processed": int(self.keyframes_processed),
+        }
+
+    def restore_host(self, snap: dict):
+        """Restore what `snapshot_host` captured; pair with assigning the
+        checkpointed device state to `self.state`."""
+        self._odometry[:] = snap["odometry"]
+        self._yaw_rate = snap["yaw_rate"]
+        self._yaw_received_us = snap["yaw_received_us"]
+        self._geolocation_received_us = snap["geolocation_received_us"]
+        self._keyframe_us = snap["keyframe_us"]
+        self.keyframes_processed = snap["keyframes_processed"]
+
     # --------------------------------------------------------------- helpers
     @property
     def loop_closure_complete(self) -> bool:

@@ -35,6 +35,9 @@ class SimConfig:
     # fault injection
     drop_frame_prob: float = 0.0
     dup_frame_prob: float = 0.0
+    reorder_frame_prob: float = 0.0   # swap a frame with its successor (UDP
+                                      # reordering; timestamps keep original
+                                      # sample times, arrival order swaps)
     seed: int = 0
 
 
@@ -92,7 +95,7 @@ def simulate(track: Track, cfg: SimConfig = SimConfig()) -> Scenario:
             obs[t, :k, 3] = track.cones_type[idx]
             valid[t, :k] = True
 
-    # fault injection: dropped/duplicated frames
+    # fault injection: dropped/duplicated/reordered frames
     keep = rng.random(n_frames) >= cfg.drop_frame_prob
     order = []
     for t in range(n_frames):
@@ -101,6 +104,14 @@ def simulate(track: Track, cfg: SimConfig = SimConfig()) -> Scenario:
         order.append(t)
         if rng.random() < cfg.dup_frame_prob:
             order.append(t)
+    if cfg.reorder_frame_prob > 0.0:
+        i = 0
+        while i + 1 < len(order):
+            if rng.random() < cfg.reorder_frame_prob:
+                order[i], order[i + 1] = order[i + 1], order[i]
+                i += 2  # a swapped pair is final (single-hop reordering)
+            else:
+                i += 1
     order = np.asarray(order, dtype=int)
     return Scenario(track=track, times=times[order], gt_poses=gt[order],
                     odom_poses=odom[order], yaw_rates=yaw_noisy[order],
