@@ -153,3 +153,24 @@ def test_batched_sessions_match_sequential():
             atol=1e-5)
         assert bool(st.loop_closure_complete) == bool(fin.loop_closure_complete[s])
         assert int(st.graph.n_landmarks) == int(fin.graph.n_landmarks[s])
+
+
+def test_multihost_distributed_gn_smoke():
+    """Real multi-process distributed GN (SURVEY.md §5.8): two OS processes,
+    each with two virtual devices, form a global mesh via jax.distributed;
+    the Schur-reduction psum crosses the process boundary (gloo — the CPU
+    stand-in for ICI/DCN) and matches single-device GN. Runs the launcher in
+    deploy/multihost_smoke.py as a subprocess so this test's own JAX runtime
+    stays untouched."""
+    import os
+    import subprocess
+    import sys
+
+    script = os.path.join(os.path.dirname(__file__), "..", "deploy",
+                          "multihost_smoke.py")
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run([sys.executable, script], env=env,
+                          capture_output=True, text=True, timeout=560)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert '"ok": true' in proc.stdout
