@@ -314,3 +314,24 @@ def test_envelope_converter_roundtrip():
     assert back.sampleTimeStamp.micros == 123456
     m = E.unpack_message(back)
     assert m.objectId == 4 and abs(m.distance - 9.5) < 1e-6
+
+
+def test_lcm_to_generic_via_runtime_spec():
+    """LCMToGenericMessage equivalent: decode LCM bytes against a spec
+    parsed from the reference .odvd at runtime — hash verified, values
+    land in a dict-backed GenericMessage."""
+    from tpuslam.io.codecs import lcm_to_generic, to_lcm
+    from tpuslam.io.odvd import parse_odvd
+
+    ODVD = "/root/reference/src/opendlv-standard-message-set-v0.9.5.odvd"
+    with open(ODVD) as f:
+        specs = {s.name: s for s in parse_odvd(f.read())}
+    spec = specs["opendlv.logic.sensation.Geolocation"]
+    assert spec.odvd_types["latitude"] == "double"
+
+    buf = to_lcm(M.Geolocation(latitude=57.7, longitude=11.9,
+                               altitude=2.0, heading=0.25))
+    g = lcm_to_generic(spec, buf)
+    assert g.dataType == 1116
+    assert abs(g.values["latitude"] - 57.7) < 1e-12
+    assert abs(g.values["heading"] - np.float32(0.25)) < 1e-6

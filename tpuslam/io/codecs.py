@@ -341,3 +341,16 @@ def from_lcm(cls, buf: bytes, with_hash: bool = True):
         pos = 8
     msg, _ = _lcm_decode(cls, buf, pos)
     return msg
+
+
+def lcm_to_generic(spec, buf: bytes, with_hash: bool = True) -> "M.GenericMessage":
+    """LCMToGenericMessage equivalent (reference
+    src/cluon-complete-build.hpp:7635): decode LCM bytes against a runtime
+    ODVD `MessageSpec` (tpuslam.io.odvd) into a dict-backed GenericMessage —
+    no compiled class needed."""
+    from tpuslam.io.odvd import build_message_classes
+    cls = build_message_classes([spec])[spec.name]
+    msg = from_lcm(cls, buf, with_hash=with_hash)
+    return M.GenericMessage(
+        dataType=spec.ident,
+        values={name: getattr(msg, name) for _f, _k, name, _n in spec.fields})

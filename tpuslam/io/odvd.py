@@ -43,6 +43,7 @@ class MessageSpec:
     name: str
     ident: int
     fields: list  # (field_id, wire_kind, field_name, None)
+    odvd_types: dict = field(default_factory=dict)  # field_name -> declared type
 
 
 def parse_odvd(text: str) -> list[MessageSpec]:
@@ -51,13 +52,16 @@ def parse_odvd(text: str) -> list[MessageSpec]:
     for m in _MSG_RE.finditer(text):
         name, ident, body = m.group(1), int(m.group(2)), m.group(3)
         fields = []
+        types = {}
         for f in _FIELD_RE.finditer(body):
             ftype, fname, fid = f.group(1), f.group(2), int(f.group(3))
             if ftype not in _TYPE_MAP:
                 continue  # nested message types unsupported in the subset
             kind, _default = _TYPE_MAP[ftype]
             fields.append((fid, kind, fname, None))
-        specs.append(MessageSpec(name=name, ident=ident, fields=fields))
+            types[fname] = ftype
+        specs.append(MessageSpec(name=name, ident=ident, fields=fields,
+                                 odvd_types=types))
     return specs
 
 
@@ -71,7 +75,8 @@ def build_message_classes(specs: list[MessageSpec], register: bool = False):
             cls_fields.append((fname, object, field(default=default)))
         cls = make_dataclass(s.name.split(".")[-1], cls_fields,
                              namespace={"ID": s.ident, "FIELDS": s.fields,
-                                        "LONG_NAME": s.name})
+                                        "LONG_NAME": s.name,
+                                        "ODVD_TYPES": s.odvd_types})
         out[s.name] = cls
         if register:
             M.MESSAGE_REGISTRY.setdefault(s.ident, cls)
