@@ -197,13 +197,11 @@ def densify_hpp(h_diag, h_off):
     return h4.reshape(3 * P, 3 * P)
 
 
-def assemble(g: FactorGraph, cfg: GNConfig):
-    """Build the blocked normal equations.
-
-    Returns (Hpp [3P,3P], W [3P,2L], Hll [L,2,2], gp [3P], gl [L,2]).
-    Pure function of the graph arrays; the landmark-edge part is a sum over
-    edges, so edge-sharded partial results psum into the same totals.
-    """
+def _assemble_blocked(g: FactorGraph, cfg: GNConfig):
+    """`assemble` without the densification: returns the block-tridiagonal
+    pose pieces (h_diag [P,3,3], h_off [P,3,3]) plus (W [3P,2L],
+    Hll [L,2,2], gp [P,3], gl [L,2]). The bucketed solve densifies only the
+    active leading blocks."""
     cap = g.capacity
     h_diag, h_off, gp_o = assemble_odometry(g, cfg)
     w_l = (jnp.asarray(cfg.lm_info, g.poses.dtype)
@@ -231,9 +229,18 @@ def assemble(g: FactorGraph, cfg: GNConfig):
         h_diag_lm, w_mat, hll, gp_lm, gl = landmark_edge_blocks(
             g.poses, g.lm_xy, g.obs_pose, g.obs_lm, g.obs_xy, w_l,
             cap.max_landmarks)
-    hpp = densify_hpp(h_diag + h_diag_lm, h_off)
-    gp = (gp_o + gp_lm).reshape(-1)
-    return hpp, w_mat, hll, gp, gl
+    return h_diag + h_diag_lm, h_off, w_mat, hll, gp_o + gp_lm, gl
+
+
+def assemble(g: FactorGraph, cfg: GNConfig):
+    """Build the dense-blocked normal equations.
+
+    Returns (Hpp [3P,3P], W [3P,2L], Hll [L,2,2], gp [3P], gl [L,2]).
+    Pure function of the graph arrays; the landmark-edge part is a sum over
+    edges, so edge-sharded partial results psum into the same totals.
+    """
+    h_diag, h_off, w_mat, hll, gp, gl = _assemble_blocked(g, cfg)
+    return densify_hpp(h_diag, h_off), w_mat, hll, gp.reshape(-1), gl
 
 
 def _inv2x2(m):
@@ -306,16 +313,52 @@ def _pose_buckets(max_poses: int, step: int):
     return sizes
 
 
-def _bucketed_schur_solve(n_poses, hpp, w_mat, hll, gp, gl, cfg: GNConfig):
+def _apply_gauge_blocked(g: FactorGraph, cfg: GNConfig, h_diag, h_off,
+                         w_mat, hll, gp, gl):
+    """`_apply_gauge` on the block-tridiagonal form, before densification:
+    fixed/padding poses get identity diagonal blocks and zeroed couplings —
+    entrywise identical to gauging the dense matrix."""
+    P, L = g.capacity.max_poses, g.capacity.max_landmarks
+    dtype = h_diag.dtype
+    kp = jnp.arange(P)
+    free_pose = (kp >= cfg.fix_first_poses) & (kp < g.n_poses)
+    kl = jnp.arange(L)
+    free_lm = (kl >= cfg.fix_first_landmarks) & (kl < g.n_landmarks)
+
+    fpb = free_pose.astype(dtype)[:, None, None]
+    eye3 = jnp.eye(3, dtype=dtype)
+    h_diag = h_diag * fpb + eye3 * (1.0 - fpb)
+    # h_off[k] is the (k-1, k) block: zero unless both endpoints are free
+    pair = free_pose & jnp.roll(free_pose, 1)
+    pair = pair.at[0].set(False)
+    h_off = h_off * pair.astype(dtype)[:, None, None]
+
+    fp = jnp.repeat(free_pose.astype(dtype), 3)   # [3P]
+    fl2 = jnp.repeat(free_lm.astype(dtype), 2)    # [2L]
+    w_mat = w_mat * fp[:, None] * fl2[None, :]
+    eye2 = jnp.eye(2, dtype=dtype)
+    flb = free_lm.astype(dtype)[:, None, None]
+    hll = hll * flb + eye2 * (1.0 - flb)
+    gp = gp * free_pose.astype(dtype)[:, None]
+    gl = gl * free_lm.astype(dtype)[:, None]
+    if cfg.damping:
+        h_diag = h_diag + eye3 * jnp.asarray(cfg.damping, dtype) * fpb
+        hll = hll + eye2 * jnp.asarray(cfg.damping, dtype) * flb
+    return h_diag, h_off, w_mat, hll, gp, gl
+
+
+def _bucketed_schur_solve(n_poses, h_diag, h_off, w_mat, hll, gp, gl,
+                          cfg: GNConfig):
     """Solve on the smallest pose bucket covering n_poses (lax.switch).
 
     The gauged system's rows past n_poses are exactly identity (Hpp) and zero
-    (W, gp), so factorizing the leading [3b, 3b] block is bit-identical to the
-    full factorization while the O(b^3) / O(b^2 L) costs track the *active*
-    graph, not the capacity. Early/periodic optimizations on a growing graph
-    stop paying for the empty tail.
+    (W, gp), so densifying + factorizing only the leading b pose blocks is
+    bit-identical to the full solve while the O(b^3) / O(b^2 L) costs — and
+    the densification scatter itself — track the *active* graph, not the
+    capacity. Early/periodic optimizations on a growing graph stop paying
+    for the empty tail.
     """
-    p_cap = hpp.shape[0] // 3
+    p_cap = h_diag.shape[0]
     buckets = _pose_buckets(p_cap, cfg.solve_bucket_step)
     sel = jnp.searchsorted(jnp.asarray(buckets, jnp.int32),
                            n_poses.astype(jnp.int32), side="left")
@@ -323,27 +366,31 @@ def _bucketed_schur_solve(n_poses, hpp, w_mat, hll, gp, gl, cfg: GNConfig):
 
     def make_branch(b):
         def branch(ops):
-            hpp, w_mat, hll, gp, gl = ops
+            h_diag, h_off, w_mat, hll, gp, gl = ops
+            hpp_b = densify_hpp(h_diag[:b], h_off[:b])
             dp_b, dl = schur_solve(
-                hpp[:3 * b, :3 * b], w_mat[:3 * b], hll, gp[:3 * b], gl,
+                hpp_b, w_mat[:3 * b], hll, gp[:b].reshape(-1), gl,
                 use_cholesky_kernel=cfg.use_cholesky_kernel)
             dp = jnp.zeros((3 * p_cap,), dp_b.dtype).at[:3 * b].set(dp_b)
             return dp, dl
         return branch
 
     return jax.lax.switch(sel, [make_branch(b) for b in buckets],
-                          (hpp, w_mat, hll, gp, gl))
+                          (h_diag, h_off, w_mat, hll, gp, gl))
 
 
 @partial(jax.jit, static_argnames="cfg")
 def gn_step(g: FactorGraph, cfg: GNConfig) -> FactorGraph:
     """One Gauss-Newton iteration over the full graph."""
     with jax.default_matmul_precision(cfg.matmul_precision):
-        blocks = assemble(g, cfg)
-        blocks = _apply_gauge(g, cfg, *blocks)
         if cfg.solve_bucket_step > 0:
+            h_diag, h_off, w_mat, hll, gp2, gl = _assemble_blocked(g, cfg)
+            blocks = _apply_gauge_blocked(g, cfg, h_diag, h_off, w_mat, hll,
+                                          gp2, gl)
             dp, dl = _bucketed_schur_solve(g.n_poses, *blocks, cfg)
         else:
+            blocks = assemble(g, cfg)
+            blocks = _apply_gauge(g, cfg, *blocks)
             dp, dl = schur_solve(*blocks,
                                  use_cholesky_kernel=cfg.use_cholesky_kernel)
     d_pose = dp.reshape(-1, 3)
