@@ -335,3 +335,40 @@ def test_lcm_to_generic_via_runtime_spec():
     assert g.dataType == 1116
     assert abs(g.values["latitude"] - 57.7) < 1e-12
     assert abs(g.values["heading"] - np.float32(0.25)) < 1e-6
+
+
+def test_tcp_delegate_time_send():
+    """A server delegate must be able to send on the brand-new connection
+    (cluon hands over a fully usable connection; code-review finding)."""
+    async def run():
+        got = []
+
+        def on_conn(peer, conn):
+            assert conn.is_running
+            assert conn.send(b"greet") == 5
+
+        server = TCPServer(on_conn)
+        await server.start()
+        client = TCPConnection(on_data=lambda b, ts: got.append(b))
+        await client.connect("127.0.0.1", server.port)
+        for _ in range(100):
+            if got:
+                break
+            await asyncio.sleep(0.01)
+        await server.stop()
+        await client.stop()
+        return got
+
+    assert b"".join(asyncio.run(run())) == b"greet"
+
+
+def test_shm_notify_all_under_lock_keeps_lock():
+    """notify_all inside a lock()ed section must not release the caller's
+    exclusive hold (flock is per-fd; code-review finding)."""
+    with SharedMemoryArea("/tpuslam-test-c", size=16) as shm:
+        shm.lock()
+        shm.notify_all()          # nested lock/unlock inside
+        assert shm._lock_depth == 1   # outer hold survives
+        shm.data[:2] = b"ok"
+        shm.unlock()
+        assert shm._lock_depth == 0

@@ -167,3 +167,49 @@ def test_checkpoint_resume_mid_run_exact():
     assert int(b.state.graph.n_obs) == int(gold.state.graph.n_obs)
     assert bool(b.state.loop_closure_complete) == \
         bool(gold.state.loop_closure_complete)
+
+
+def test_checkpoint_resume_with_ekf_and_open_frame():
+    """Resume must also carry the EKF filter state and a mid-window cone
+    collector (code-review finding: the live ingest path has host state
+    beyond odometry)."""
+    import numpy as np
+
+    from tpuslam.core.slam import Slam, _geo_from_local
+    from tpuslam.io import messages as M
+    from tpuslam.runtime.config import SlamConfig
+    from tpuslam.sim import SimConfig, simulate, skidpad
+
+    cfg = SlamConfig(use_ekf_fusion=True)
+    scen = simulate(skidpad(), SimConfig(laps=1.2, seed=7))
+    T = len(scen.times)
+    k = T // 2
+
+    def feed(slam, t):
+        us = int(scen.times[t] * 1e6)
+        slam.next_pose(_geo_from_local(slam._gps_ref, scen.odom_poses[t]), us)
+        slam.next_yaw_rate(M.AngularVelocityReading(
+            angularVelocityZ=float(scen.yaw_rates[t])), us)
+        return slam.process_frame(scen.obs[t], scen.obs_valid[t], us)
+
+    gold = Slam(cfg)
+    gold_tail = [np.asarray(feed(gold, t).pose) for t in range(T)][k:]
+
+    a = Slam(cfg)
+    for t in range(k):
+        feed(a, t)
+    # open a partial cone frame mid-gathering-window before snapshotting
+    us = int(scen.times[k] * 1e6)
+    a.next_cone(M.ObjectDirection(objectId=0, azimuthAngle=5.0), us)
+    snap = a.snapshot_host()
+    assert snap["frame_open"] and "ekf" in snap
+
+    b = Slam(cfg)
+    b.state = a.state
+    b.restore_host(snap)
+    assert b._frame_open and b._ekf is not None
+    np.testing.assert_array_equal(np.asarray(b._ekf.x), np.asarray(a._ekf.x))
+    b._frame_open = False  # drop the partial frame on both sides equally
+    resumed_tail = [np.asarray(feed(b, t).pose) for t in range(k, T)]
+    np.testing.assert_allclose(np.stack(resumed_tail), np.stack(gold_tail),
+                               atol=1e-5)

@@ -280,7 +280,7 @@ class Slam:
         lives in `self.state` and is captured by runtime.checkpoint). The
         reference has no resume at all — its substitute is replaying the
         whole .rec from t=0 (SURVEY.md §5.4)."""
-        return {
+        snap = {
             "odometry": [float(v) for v in self._odometry],
             "yaw_rate": float(self._yaw_rate),
             "yaw_received_us": int(self._yaw_received_us),
@@ -288,7 +288,22 @@ class Slam:
             "keyframe_us": (None if self._keyframe_us is None
                             else int(self._keyframe_us)),
             "keyframes_processed": int(self.keyframes_processed),
+            # mid-gathering-window collector state (live ingest path)
+            "frame_open": bool(self._frame_open),
+            "frame_start_us": int(self._frame_start_us),
+            "last_cone_us": int(self._last_cone_us),
+            "last_object_id": int(self._last_object_id),
+            "collector": np.asarray(self._collector).tolist(),
+            "collector_seen": np.asarray(self._collector_seen).tolist(),
+            "frame_pose": [float(v) for v in self._frame_pose],
+            "frame_yaw_rate": float(self._frame_yaw_rate),
+            "frame_yaw_us": int(self._frame_yaw_us),
         }
+        if self._ekf is not None:
+            snap["ekf"] = {"x": np.asarray(self._ekf.x).tolist(),
+                           "p": np.asarray(self._ekf.p).tolist()}
+            snap["ekf_us"] = int(self._ekf_us)
+        return snap
 
     def restore_host(self, snap: dict):
         """Restore what `snapshot_host` captured; pair with assigning the
@@ -299,6 +314,22 @@ class Slam:
         self._geolocation_received_us = snap["geolocation_received_us"]
         self._keyframe_us = snap["keyframe_us"]
         self.keyframes_processed = snap["keyframes_processed"]
+        if "frame_open" in snap:
+            self._frame_open = snap["frame_open"]
+            self._frame_start_us = snap["frame_start_us"]
+            self._last_cone_us = snap["last_cone_us"]
+            self._last_object_id = snap["last_object_id"]
+            self._collector[:] = np.asarray(snap["collector"])
+            self._collector_seen[:] = np.asarray(snap["collector_seen"])
+            self._frame_pose[:] = snap["frame_pose"]
+            self._frame_yaw_rate = snap["frame_yaw_rate"]
+            self._frame_yaw_us = snap["frame_yaw_us"]
+        if "ekf" in snap:
+            from tpuslam.frontend.motion import Ekf
+            self._ekf = Ekf(
+                x=jnp.asarray(np.asarray(snap["ekf"]["x"]), jnp.float32),
+                p=jnp.asarray(np.asarray(snap["ekf"]["p"]), jnp.float32))
+            self._ekf_us = snap["ekf_us"]
 
     # --------------------------------------------------------------- helpers
     @property

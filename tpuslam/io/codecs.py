@@ -74,7 +74,10 @@ def _mp_int(out: bytearray, v: int):
     if v >= 0:
         _mp_uint(out, v)
     elif v >= -31:
-        out.append(v & 0xFF)          # negative fixint
+        # negative fixint. NOTE: msgpack's fixint range is -32..-1, but the
+        # reference's encodeInt branches on `-31 <= v` (cluon :12579) so -32
+        # gets int8 — matched here for byte-for-byte parity with cluon.
+        out.append(v & 0xFF)
     elif v >= _I8_MIN:
         out.append(0xD0)
         out += struct.pack(">b", v)
@@ -244,8 +247,7 @@ _LCM_TYPE = {
 }
 
 # fallback when a message class carries no ODVD_TYPES entry for a field
-_KIND_DEFAULT = {M.VARINT_SIGNED: "int32", M.VARINT_UNSIGNED: "uint32",
-                 M.FLOAT: "float", M.DOUBLE: "double", M.STRING: "string"}
+_KIND_DEFAULT = M.WIRE_KIND_TO_ODVD
 
 
 def _odvd_type(cls, kind, name) -> str:
@@ -294,12 +296,19 @@ def _lcm_encode(msg, cls):
     return bytes(out), h, nested_hashes
 
 
+_HASH_CACHE: dict[type, int] = {}
+
+
 def lcm_hash(cls) -> int:
-    """The 64-bit LCM type hash the reference would compute for `cls`."""
-    dummy = cls()
-    _, raw, nested = _lcm_encode(dummy, cls)
-    tmp = _s64(raw + sum(nested))
-    return _s64((tmp << 1) + ((tmp >> 63) & 1))
+    """The 64-bit LCM type hash the reference would compute for `cls`.
+    A pure function of FIELDS/ODVD_TYPES, so cached per class — decode
+    paths verify it on every message."""
+    h = _HASH_CACHE.get(cls)
+    if h is None:
+        _, raw, nested = _lcm_encode(cls(), cls)
+        tmp = _s64(raw + sum(nested))
+        h = _HASH_CACHE[cls] = _s64((tmp << 1) + ((tmp >> 63) & 1))
+    return h
 
 
 def to_lcm(msg, with_hash: bool = True) -> bytes:

@@ -29,6 +29,12 @@ MESSAGE = "message"               # nested message, length-delimited
 
 MESSAGE_REGISTRY: dict[int, type] = {}
 
+# fallback declared-ODVD-type per wire kind, for message classes without an
+# ODVD_TYPES entry (shared by the ODVD emitter and the LCM codec so the
+# emitted spec text and the LCM hash can never diverge)
+WIRE_KIND_TO_ODVD = {VARINT_SIGNED: "int32", VARINT_UNSIGNED: "uint32",
+                     FLOAT: "float", DOUBLE: "double", STRING: "string"}
+
 
 def register(cls):
     MESSAGE_REGISTRY[cls.ID] = cls

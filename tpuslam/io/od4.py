@@ -104,8 +104,12 @@ class OD4Session:
         loop = asyncio.get_running_loop()
         if self._want_native is not False:
             try:
+                # library load may compile C++ on first use — keep it off
+                # the event loop thread
                 from tpuslam.native.receiver import NativeOD4Endpoint
-                self._native_ep = NativeOD4Endpoint(self.cid)
+                self._native_ep = await loop.run_in_executor(
+                    None, lambda: NativeOD4Endpoint(
+                        self.cid, interface=self.interface))
             except Exception:
                 if self._want_native is True:
                     raise

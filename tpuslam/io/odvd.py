@@ -98,8 +98,7 @@ def load_standard_message_set(path: str, register: bool = True):
 _ODVD_DEFAULT = {"bool": "false", "char": "'0'", "float": "0.0",
                  "double": "0.0", "string": '""', "bytes": '""'}
 
-_KIND_FALLBACK = {M.VARINT_SIGNED: "int32", M.VARINT_UNSIGNED: "uint32",
-                  M.FLOAT: "float", M.DOUBLE: "double", M.STRING: "string"}
+_KIND_FALLBACK = M.WIRE_KIND_TO_ODVD
 
 
 def message_to_odvd(cls) -> str:

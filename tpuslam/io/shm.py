@@ -52,6 +52,7 @@ class SharedMemoryArea:
         self._valid = False
         self._shm = None
         self._lockfd = -1
+        self._lock_depth = 0   # reentrancy: flock is per-fd, not per-call
         key = self._name.strip("/").replace("/", "_")
         self._lockpath = os.path.join(tempfile.gettempdir(),
                                       f"tpuslam-shm-{key}.lock")
@@ -85,12 +86,19 @@ class SharedMemoryArea:
         return self._shm.buf[_HEADER:]
 
     def lock(self):
+        """Reentrant within this handle: nested lock/unlock pairs (e.g.
+        notify_all under lock, the pthread-condvar idiom the reference's
+        header implies) do not release the outer hold."""
         if fcntl is not None and self._lockfd >= 0:
-            fcntl.flock(self._lockfd, fcntl.LOCK_EX)
+            if self._lock_depth == 0:
+                fcntl.flock(self._lockfd, fcntl.LOCK_EX)
+            self._lock_depth += 1
 
     def unlock(self):
-        if fcntl is not None and self._lockfd >= 0:
-            fcntl.flock(self._lockfd, fcntl.LOCK_UN)
+        if fcntl is not None and self._lockfd >= 0 and self._lock_depth > 0:
+            self._lock_depth -= 1
+            if self._lock_depth == 0:
+                fcntl.flock(self._lockfd, fcntl.LOCK_UN)
 
     def _generation(self) -> int:
         return struct.unpack_from("<Q", self._shm.buf, 0)[0]
@@ -121,7 +129,13 @@ class SharedMemoryArea:
             os.close(self._lockfd)
             self._lockfd = -1
         if self._shm is not None:
-            self._shm.close()
+            try:
+                self._shm.close()
+            except BufferError:
+                # a caller still holds a memoryview from `data`; the mapping
+                # stays alive with it, but the owner must still unlink so the
+                # named segment does not leak past this process
+                pass
             if self._owner:
                 try:
                     self._shm.unlink()

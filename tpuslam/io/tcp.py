@@ -48,11 +48,22 @@ class TCPConnection:
 
     def adopt(self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter):
         """Wrap an accepted server-side stream (used by TCPServer)."""
+        self._attach(reader, writer)
+        self._start_pump()
+
+    def _attach(self, reader, writer):
+        """Make the connection sendable (is_running, send) without starting
+        the read pump — TCPServer attaches before invoking the delegate so
+        a delegate-time send works, and starts the pump after the delegate
+        has had the chance to set on_data."""
         self._reader, self._writer = reader, writer
-        self._start()
+        self._running = True
 
     def _start(self):
         self._running = True
+        self._start_pump()
+
+    def _start_pump(self):
         self._pump = asyncio.get_running_loop().create_task(self._read_loop())
 
     async def _read_loop(self):
@@ -121,10 +132,11 @@ class TCPServer:
             peer = writer.get_extra_info("peername")
             conn = TCPConnection()
             self._conns.append(conn)
+            conn._attach(reader, writer)   # delegate can send immediately
             res = self.on_connection(f"{peer[0]}:{peer[1]}", conn)
             if asyncio.iscoroutine(res):
                 await res
-            conn.adopt(reader, writer)
+            conn._start_pump()             # on_data is set; start delivering
 
         self._server = await asyncio.start_server(handler, host, port)
 

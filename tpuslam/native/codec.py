@@ -31,8 +31,12 @@ def _load() -> Optional[ctypes.CDLL]:
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_SO) and not _try_build():
-        return None
+    src = os.path.join(_DIR, "od4codec.cpp")
+    stale = (os.path.exists(_SO) and os.path.exists(src)
+             and os.path.getmtime(src) > os.path.getmtime(_SO))
+    if (not os.path.exists(_SO) or stale) and not _try_build():
+        if not os.path.exists(_SO):
+            return None
     try:
         lib = ctypes.CDLL(_SO)
     except OSError:

@@ -64,6 +64,8 @@ struct Endpoint {
   sockaddr_in self_addr{};  // send socket's (local ip, port) for self-filter
   std::thread rx_thread;
   std::atomic<bool> stop{false};
+  std::atomic<int> active_calls{0};  // wait/drain calls in flight — close
+                                     // spins these out before deleting
 
   std::mutex mu;
   std::condition_variable cv;
@@ -85,11 +87,18 @@ std::mutex g_mu;
 std::map<int64_t, Endpoint*> g_endpoints;
 int64_t g_next_handle = 1;
 
-Endpoint* get(int64_t h) {
+// Acquire pins the endpoint against od4r_close: the refcount is taken under
+// g_mu, and close() removes the map entry under g_mu before spinning the
+// count to zero — so a pinned endpoint can never be deleted mid-call.
+Endpoint* acquire(int64_t h) {
   std::lock_guard<std::mutex> l(g_mu);
   auto it = g_endpoints.find(h);
-  return it == g_endpoints.end() ? nullptr : it->second;
+  if (it == g_endpoints.end()) return nullptr;
+  it->second->active_calls.fetch_add(1);
+  return it->second;
 }
+
+void release(Endpoint* ep) { ep->active_calls.fetch_sub(1); }
 
 int64_t now_us_fallback() {
   return std::chrono::duration_cast<std::chrono::microseconds>(
@@ -147,7 +156,8 @@ void rx_loop(Endpoint* ep) {
 
 extern "C" {
 
-int64_t od4r_open(uint32_t cid, uint16_t port, int rcvbuf) {
+int64_t od4r_open(uint32_t cid, uint16_t port, int rcvbuf,
+                  const char* iface) {
   auto* ep = new Endpoint();
 
   char group_ip[32];
@@ -155,6 +165,13 @@ int64_t od4r_open(uint32_t cid, uint16_t port, int rcvbuf) {
   ep->group.sin_family = AF_INET;
   ep->group.sin_port = htons(port);
   ::inet_pton(AF_INET, group_ip, &ep->group.sin_addr);
+
+  in_addr iface_addr{};
+  iface_addr.s_addr = htonl(INADDR_ANY);
+  if (iface != nullptr && iface[0] != '\0' &&
+      std::strcmp(iface, "0.0.0.0") != 0) {
+    ::inet_pton(AF_INET, iface, &iface_addr);
+  }
 
   // receive socket: REUSE* so several sessions share the port on one host
   ep->recv_fd = ::socket(AF_INET, SOCK_DGRAM, 0);
@@ -170,7 +187,7 @@ int64_t od4r_open(uint32_t cid, uint16_t port, int rcvbuf) {
   sockaddr_in bind_addr{};
   bind_addr.sin_family = AF_INET;
   bind_addr.sin_port = htons(port);
-  bind_addr.sin_addr.s_addr = htonl(INADDR_ANY);
+  bind_addr.sin_addr.s_addr = iface_addr.s_addr;
   if (::bind(ep->recv_fd, reinterpret_cast<sockaddr*>(&bind_addr),
              sizeof(bind_addr)) < 0) {
     delete ep;
@@ -178,7 +195,7 @@ int64_t od4r_open(uint32_t cid, uint16_t port, int rcvbuf) {
   }
   ip_mreq mreq{};
   mreq.imr_multiaddr = ep->group.sin_addr;
-  mreq.imr_interface.s_addr = htonl(INADDR_ANY);
+  mreq.imr_interface = iface_addr;
   if (::setsockopt(ep->recv_fd, IPPROTO_IP, IP_ADD_MEMBERSHIP, &mreq,
                    sizeof(mreq)) < 0) {
     delete ep;
@@ -209,28 +226,38 @@ int64_t od4r_open(uint32_t cid, uint16_t port, int rcvbuf) {
 }
 
 int64_t od4r_send(int64_t h, const uint8_t* data, int64_t len) {
-  Endpoint* ep = get(h);
-  if (ep == nullptr || ep->send_fd < 0) return -1;
-  return ::send(ep->send_fd, data, static_cast<size_t>(len), 0);
+  Endpoint* ep = acquire(h);
+  if (ep == nullptr) return -1;
+  int64_t n = ep->send_fd < 0
+                  ? -1
+                  : ::send(ep->send_fd, data, static_cast<size_t>(len), 0);
+  release(ep);
+  return n;
 }
 
 // Block until >=1 datagram is queued or timeout; returns the queued count.
 int64_t od4r_wait(int64_t h, int64_t timeout_us) {
-  Endpoint* ep = get(h);
+  Endpoint* ep = acquire(h);
   if (ep == nullptr) return -1;
-  std::unique_lock<std::mutex> l(ep->mu);
-  if (ep->queue.empty()) {
-    ep->cv.wait_for(l, std::chrono::microseconds(timeout_us),
-                    [&] { return !ep->queue.empty(); });
+  int64_t n = -1;
+  {
+    std::unique_lock<std::mutex> l(ep->mu);
+    if (ep->queue.empty() && !ep->stop.load()) {
+      ep->cv.wait_for(l, std::chrono::microseconds(timeout_us), [&] {
+        return !ep->queue.empty() || ep->stop.load();
+      });
+    }
+    n = static_cast<int64_t>(ep->queue.size());
   }
-  return static_cast<int64_t>(ep->queue.size());
+  release(ep);
+  return n;
 }
 
 // Copy all pending datagrams (up to maxn / cap bytes) into caller arrays.
 // Returns the number of datagrams copied; the arena slots are recycled.
 int64_t od4r_drain(int64_t h, uint8_t* buf, int64_t cap, int64_t* offs,
                    int64_t* lens, int64_t* ts_us, int64_t maxn) {
-  Endpoint* ep = get(h);
+  Endpoint* ep = acquire(h);
   if (ep == nullptr) return -1;
   std::lock_guard<std::mutex> l(ep->mu);
   int64_t n = 0;
@@ -260,15 +287,19 @@ int64_t od4r_drain(int64_t h, uint8_t* buf, int64_t cap, int64_t* offs,
     }
     ep->arena_used = used;
   }
+  release(ep);
   return n;
 }
 
 void od4r_stats(int64_t h, int64_t* received, int64_t* dropped) {
-  Endpoint* ep = get(h);
+  Endpoint* ep = acquire(h);
   if (ep == nullptr) return;
-  std::lock_guard<std::mutex> l(ep->mu);
-  *received = ep->received;
-  *dropped = ep->dropped;
+  {
+    std::lock_guard<std::mutex> l(ep->mu);
+    *received = ep->received;
+    *dropped = ep->dropped;
+  }
+  release(ep);
 }
 
 void od4r_close(int64_t h) {
@@ -279,6 +310,14 @@ void od4r_close(int64_t h) {
     if (it == g_endpoints.end()) return;
     ep = it->second;
     g_endpoints.erase(it);
+  }
+  // Unblock + drain out any wait/drain calls still in flight (a Python
+  // executor thread cannot be cancelled mid-call); only then destroy.
+  ep->stop.store(true);
+  ep->cv.notify_all();
+  while (ep->active_calls.load() != 0) {
+    std::this_thread::yield();
+    ep->cv.notify_all();
   }
   delete ep;  // joins the rx thread
 }

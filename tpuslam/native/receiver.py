@@ -36,8 +36,12 @@ def _load() -> Optional[ctypes.CDLL]:
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_SO) and not _try_build():
-        return None
+    src = os.path.join(_DIR, "od4recv.cpp")
+    stale = (os.path.exists(_SO) and os.path.exists(src)
+             and os.path.getmtime(src) > os.path.getmtime(_SO))
+    if (not os.path.exists(_SO) or stale) and not _try_build():
+        if not os.path.exists(_SO):
+            return None
     try:
         lib = ctypes.CDLL(_SO)
     except OSError:
@@ -46,7 +50,8 @@ def _load() -> Optional[ctypes.CDLL]:
     i64p = ctypes.POINTER(i64)
     u8p = ctypes.POINTER(ctypes.c_uint8)
     lib.od4r_open.restype = i64
-    lib.od4r_open.argtypes = [ctypes.c_uint32, ctypes.c_uint16, ctypes.c_int]
+    lib.od4r_open.argtypes = [ctypes.c_uint32, ctypes.c_uint16, ctypes.c_int,
+                              ctypes.c_char_p]
     lib.od4r_send.restype = i64
     lib.od4r_send.argtypes = [i64, ctypes.c_char_p, i64]
     lib.od4r_wait.restype = i64
@@ -68,12 +73,14 @@ def available() -> bool:
 class NativeOD4Endpoint:
     """One multicast bus endpoint backed by the native receive thread."""
 
-    def __init__(self, cid: int, port: int = 12175, rcvbuf: int = 1 << 20):
+    def __init__(self, cid: int, port: int = 12175, rcvbuf: int = 1 << 20,
+                 interface: str = "0.0.0.0"):
         lib = _load()
         if lib is None:
             raise RuntimeError("native receiver unavailable")
         self._lib = lib
-        self._h = lib.od4r_open(cid & 0xFF, port, rcvbuf)
+        self._h = lib.od4r_open(cid & 0xFF, port, rcvbuf,
+                                interface.encode())
         if self._h <= 0:
             raise OSError(f"od4r_open failed: {self._h}")
         self._buf = np.zeros(_BUF_CAP, dtype=np.uint8)
