@@ -107,3 +107,41 @@ def test_gn_with_pallas_cholesky_matches_default():
                                atol=1e-3)
     np.testing.assert_allclose(np.asarray(kern.lm_xy), np.asarray(base.lm_xy),
                                atol=1e-3)
+
+
+def test_pipeline_with_pallas_association_matches_dense():
+    """cfg.use_pallas_association routes the live mapping/localization
+    association through the tiled kernel; trajectories and maps must match
+    the dense (N x M) path for both gating policies."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpuslam.backend.graph import GraphCapacity
+    from tpuslam.frontend.pipeline import run_sequence
+    from tpuslam.frontend.state import initial_state
+    from tpuslam.runtime.config import SlamConfig
+    from tpuslam.sim import SimConfig, simulate, skidpad
+
+    scen = simulate(skidpad(), SimConfig(laps=1.3, seed=2))
+    cap = GraphCapacity(max_poses=128, max_landmarks=128, max_obs=4096)
+    obs = jnp.asarray(scen.obs, jnp.float32)
+    valid = jnp.asarray(scen.obs_valid)
+    poses = jnp.asarray(scen.odom_poses, jnp.float32)
+
+    for assoc in ("nearest", "mahalanobis"):
+        dense_cfg = SlamConfig(capacity=cap, association=assoc)
+        kern_cfg = dense_cfg.with_(use_pallas_association=True)
+        st_d, out_d = run_sequence(initial_state(cap), obs, valid, poses,
+                                   dense_cfg)
+        st_k, out_k = run_sequence(initial_state(cap), obs, valid, poses,
+                                   kern_cfg)
+        np.testing.assert_array_equal(np.asarray(st_d.graph.n_landmarks),
+                                      np.asarray(st_k.graph.n_landmarks))
+        np.testing.assert_allclose(np.asarray(out_d.pose),
+                                   np.asarray(out_k.pose), atol=1e-5,
+                                   err_msg=assoc)
+        np.testing.assert_allclose(np.asarray(st_d.graph.lm_xy),
+                                   np.asarray(st_k.graph.lm_xy), atol=1e-5,
+                                   err_msg=assoc)
+        assert bool(st_k.loop_closure_complete) == \
+            bool(st_d.loop_closure_complete)

@@ -67,18 +67,100 @@ def _body_xy(ob, cfg: SlamConfig):
     return xyz[..., :2]
 
 
-def _associate_shared(state: SlamState, obs, pose, cfg: SlamConfig):
+def _obs_information(glob, pose, dist, cfg: SlamConfig):
+    """Per-observation 2x2 measurement information in the global frame,
+    packed (a, b, c): range noise along the pose->landmark ray, bearing
+    noise (dist * sigma_az) tangentially. This is what accumulates into
+    `SlamState.lm_info_xy` and drives the Mahalanobis gate — the
+    generalization of the reference's Euclidean gate that BASELINE.json
+    mandates."""
+    d = glob[..., :2] - pose[:2]
+    rng = jnp.maximum(jnp.linalg.norm(d, axis=-1), 1e-3)
+    u = d / rng[..., None]                      # radial unit vector
+    sig_r = jnp.asarray(cfg.obs_noise_std, glob.dtype)
+    sig_t = jnp.maximum(rng * jnp.radians(
+        jnp.asarray(cfg.obs_noise_az_deg, glob.dtype)), 1e-2)
+    ir = 1.0 / (sig_r * sig_r)
+    it = 1.0 / (sig_t * sig_t)
+    ux, uy = u[..., 0], u[..., 1]
+    # R^-1 = ir*u u^T + it*t t^T with t = (-uy, ux)
+    a = ir * ux * ux + it * uy * uy
+    b = (ir - it) * ux * uy
+    c = ir * uy * uy + it * ux * ux
+    return jnp.stack([a, b, c], axis=-1)        # [..., 3]
+
+
+def _gate_cost(diff, d2, lm_info, cfg: SlamConfig):
+    """(N x M) gating cost + threshold: squared Euclidean vs the reference
+    threshold, or Mahalanobis d^T Sigma^-1 d vs the chi-square bound.
+    Landmarks with no accumulated information (zero rows) fall back to the
+    Euclidean gate so brand-new maps behave identically."""
+    if cfg.association != "mahalanobis":
+        return d2, cfg.same_cone_threshold ** 2
+    a, b, c = lm_info[:, 0], lm_info[:, 1], lm_info[:, 2]
+    dx, dy = diff[..., 0], diff[..., 1]
+    mahal = a[None, :] * dx * dx + 2.0 * b[None, :] * dx * dy \
+        + c[None, :] * dy * dy
+    has_info = (a + c)[None, :] > 0.0
+    thresh2 = cfg.same_cone_threshold ** 2
+    cost = jnp.where(has_info, mahal,
+                     d2 * (cfg.mahalanobis_gate / thresh2))
+    return cost, cfg.mahalanobis_gate
+
+
+def _use_assoc_kernel(cfg: SlamConfig) -> bool:
+    return cfg.use_pallas_association and cfg.association != "first"
+
+
+def _associate_shared(state: SlamState, obs, obs_valid, pose, cfg: SlamConfig):
     """The association work shared by mapping and localization: observations
-    to global frame, body-frame measurements, and the (N x M) squared
-    distance matrix against the current map. Hoisted out of the
-    mapping/localization cond so a vmapped step (which executes both
-    branches) pays for it once."""
+    to global frame, body-frame measurements, and the association payload —
+    the (N x M) gating cost matrix (squared Euclidean, or Mahalanobis under
+    cfg.association='mahalanobis'), or, with cfg.use_pallas_association, the
+    tiled kernel's (match_idx, matched) pair with no (N x M) materialized.
+    Hoisted out of the mapping/localization cond so a vmapped step (which
+    executes both branches) pays for it once."""
     glob_all = jax.vmap(lambda ob: cone_to_global(
         pose, ob[0], ob[1], ob[2], cfg.lidar_to_cog, cfg.reference_compat))(obs)
     body_all = _body_xy(obs, cfg)
+    if _use_assoc_kernel(cfg):
+        j, matched = _associate_pallas(state, glob_all, obs, obs_valid, cfg)
+        return glob_all, body_all, j, matched
     diff = glob_all[:, None, :] - state.graph.lm_xy[None, :, :]
     d2 = jnp.sum(diff * diff, axis=-1)
-    return glob_all, body_all, d2
+    cost, gate = _gate_cost(diff, d2, state.lm_info_xy, cfg)
+    return glob_all, body_all, cost, gate
+
+
+def _associate_pallas(state: SlamState, glob_all, obs, obs_valid,
+                      cfg: SlamConfig):
+    """Association via the tiled Pallas kernel (tpuslam.ops.pallas_assoc):
+    returns (match_idx [N], matched [N]) without materializing the (N x M)
+    cost matrix — the production path for maps too large for one VMEM-
+    friendly dense matrix (cfg.use_pallas_association). Policies 'nearest'
+    and 'mahalanobis'; the 'first' policy needs index order and stays on
+    the dense path. Zero-information landmarks fall back to the scaled
+    Euclidean gate exactly like `_gate_cost`."""
+    from tpuslam.ops.pallas_assoc import associate_pallas
+    g = state.graph
+    otype = obs[:, 3].astype(jnp.int32)
+    otype_eff = jnp.where(obs_valid, otype, -2)     # -2 never matches
+    lm_type_eff = jnp.where(g.lm_valid, g.lm_type, -1)
+    if cfg.association == "mahalanobis":
+        thresh2 = cfg.same_cone_threshold ** 2
+        fallback = cfg.mahalanobis_gate / thresh2
+        info = state.lm_info_xy
+        has = (info[:, 0] + info[:, 2]) > 0.0
+        packed = jnp.where(has[:, None], info,
+                           jnp.asarray([fallback, 0.0, fallback], info.dtype))
+        j, matched, _ = associate_pallas(
+            glob_all, otype_eff, g.lm_xy, lm_type_eff,
+            cfg.mahalanobis_gate, lm_cov_inv_packed=packed, mahalanobis=True)
+    else:
+        j, matched, _ = associate_pallas(
+            glob_all, otype_eff, g.lm_xy, lm_type_eff,
+            cfg.same_cone_threshold ** 2)
+    return j.astype(jnp.int32), matched
 
 
 def _prefix_argmin_exclusive(vals, idxs):
@@ -121,8 +203,8 @@ def _mapping_step_vectorized(state: SlamState, obs, obs_valid, pose, pose_idx,
     cap_e = g.obs_pose.shape[0]
 
     # Bootstrap (reference src/slam.cpp:554-567), as in the sequential path.
-    glob_all, body_all, d2_pre = pre if pre is not None else \
-        _associate_shared(state, obs, pose, cfg)
+    glob_all, body_all, pay_a, pay_b = pre if pre is not None else \
+        _associate_shared(state, obs, obs_valid, pose, cfg)
     boot = (g.n_landmarks == 0) & obs_valid[0]
     g = G.add_landmark(g, glob_all[0], obs[0, 3].astype(jnp.int32), enable=boot)
     g = G.add_observation(g, pose_idx, jnp.int32(0), body_all[0], enable=boot)
@@ -130,19 +212,30 @@ def _mapping_step_vectorized(state: SlamState, obs, obs_valid, pose, pose_idx,
     otype = obs[:, 3].astype(jnp.int32)
     d2car = obs[:, 2]
 
-    # --- phase A: association against the pre-frame map (N x M).
-    # d2_pre was computed against the pre-bootstrap map; the bootstrap only
-    # writes landmark slot 0 when the map was empty, so patch that column.
+    # --- phase A: association against the pre-frame map. The payload was
+    # computed against the pre-bootstrap map; the bootstrap only writes
+    # landmark slot 0 when the map was empty, so patch its matches (a fresh
+    # landmark carries no information yet -> Euclidean gate).
     diff0 = glob_all - g.lm_xy[0][None, :]
     d2_col0 = jnp.sum(diff0 * diff0, axis=-1)
-    d2 = jnp.where(boot, d2_pre.at[:, 0].set(d2_col0), d2_pre)
-    ok = ((g.lm_type[None, :] == otype[:, None]) & g.lm_valid[None, :]
-          & (d2 < thresh2) & obs_valid[:, None])
-    if cfg.association == "first":
-        j = jnp.argmax(ok, axis=1).astype(jnp.int32)
+    if _use_assoc_kernel(cfg):
+        j, matched0 = pay_a, pay_b
+        # boot: the map was empty pre-kernel, so every hit goes to slot 0
+        hit0 = (boot & (d2_col0 < thresh2) & (g.lm_type[0] == otype)
+                & obs_valid)
+        j = jnp.where(hit0, 0, j)
+        matched0 = matched0 | hit0
     else:
-        j = jnp.argmin(jnp.where(ok, d2, 1e30), axis=1).astype(jnp.int32)
-    matched0 = jnp.any(ok, axis=1)
+        cost_pre, gate = pay_a, pay_b
+        cost_col0 = d2_col0 * (gate / thresh2)
+        cost = jnp.where(boot, cost_pre.at[:, 0].set(cost_col0), cost_pre)
+        ok = ((g.lm_type[None, :] == otype[:, None]) & g.lm_valid[None, :]
+              & (cost < gate) & obs_valid[:, None])
+        if cfg.association == "first":
+            j = jnp.argmax(ok, axis=1).astype(jnp.int32)
+        else:
+            j = jnp.argmin(jnp.where(ok, cost, 1e30), axis=1).astype(jnp.int32)
+        matched0 = jnp.any(ok, axis=1)
 
     # --- in-frame sequential state as prefix scans
     vals = jnp.where(matched0, d2car, jnp.inf)
@@ -224,9 +317,23 @@ def _mapping_step_vectorized(state: SlamState, obs, obs_valid, pose, pose_idx,
     if not defer_gn:
         g = jax.lax.cond(do_opt, lambda gg: gn.optimize(gg, _gn_config(cfg)),
                          lambda gg: gg, g)
+
+    # accumulate per-landmark measurement information (Mahalanobis policy):
+    # matched/duplicate observations add their R^-1 to the landmark's row;
+    # new landmarks start with their first observation's information
+    lm_info = state.lm_info_xy
+    if cfg.association == "mahalanobis":
+        # (the bootstrap landmark is re-matched by phase A, so its first
+        # observation contributes through the `matched` term)
+        info_obs = _obs_information(glob_all, pose, d2car, cfg)
+        contributes = matched | ((is_new | is_dup) & slot_ok)
+        idx = jnp.where(contributes, target, cap_l)
+        lm_info = lm_info.at[idx].add(info_obs, mode="drop")
+
     return dataclasses.replace(
         state, graph=g, current_cone_index=cur, loop_closing=closing,
         loop_closure_complete=state.loop_closure_complete | closing,
+        lm_info_xy=lm_info,
     ), do_opt
 
 
@@ -338,17 +445,20 @@ def _localization_step(state: SlamState, obs, obs_valid, pose, cfg: SlamConfig,
     add them; published results are identical.
     """
     g = state.graph
-    _glob, body_all, d2 = pre if pre is not None else \
-        _associate_shared(state, obs, pose, cfg)
-    thresh2 = cfg.same_cone_threshold * cfg.same_cone_threshold
-    if cfg.reference_compat and cfg.localizer_type_bug:
-        type_ok = (g.lm_type[None, :].astype(jnp.float32)
-                   - obs[:, 3][:, None]) < 1e-4  # signed compare, src/slam.cpp:360
+    _glob, body_all, pay_a, pay_b = pre if pre is not None else \
+        _associate_shared(state, obs, obs_valid, pose, cfg)
+    if _use_assoc_kernel(cfg):
+        j, matched = pay_a, pay_b   # nearest semantics from the kernel
     else:
-        type_ok = g.lm_type[None, :] == obs[:, 3].astype(jnp.int32)[:, None]
-    ok = type_ok & g.lm_valid[None, :] & obs_valid[:, None] & (d2 < thresh2)
-    j = jnp.argmax(ok, axis=1).astype(jnp.int32)   # first match per obs
-    matched = jnp.any(ok, axis=1)
+        cost, gate = pay_a, pay_b
+        if cfg.reference_compat and cfg.localizer_type_bug:
+            type_ok = (g.lm_type[None, :].astype(jnp.float32)
+                       - obs[:, 3][:, None]) < 1e-4  # signed compare, src/slam.cpp:360
+        else:
+            type_ok = g.lm_type[None, :] == obs[:, 3].astype(jnp.int32)[:, None]
+        ok = type_ok & g.lm_valid[None, :] & obs_valid[:, None] & (cost < gate)
+        j = jnp.argmax(ok, axis=1).astype(jnp.int32)   # first match per obs
+        matched = jnp.any(ok, axis=1)
 
     dist2car = jnp.where(matched, obs[:, 2], 1e30)
     best = jnp.argmin(dist2car)
@@ -390,6 +500,10 @@ def perform_keyframe(state: SlamState, obs, obs_valid, pose, cfg: SlamConfig,
     for every session. The caller triggers one batched GN on the (rare)
     frames where any session wants it (see tpuslam/parallel/batch.py).
     """
+    if cfg.association == "mahalanobis" and not cfg.vectorized_mapping:
+        raise ValueError("mahalanobis association requires "
+                         "vectorized_mapping=True (the scan-form mapping "
+                         "step is the reference-faithful Euclidean path)")
     # GPS outlier guard (reference src/slam.cpp:300-303)
     ok_pose = (jnp.abs(pose[0]) <= cfg.gps_outlier_bound) & \
               (jnp.abs(pose[1]) <= cfg.gps_outlier_bound)
@@ -408,7 +522,7 @@ def perform_keyframe(state: SlamState, obs, obs_valid, pose, cfg: SlamConfig,
         state = dataclasses.replace(state, graph=g,
                                     keyframe_count=state.keyframe_count + 1)
         # association work shared by both branches (a vmapped cond runs both)
-        pre = _associate_shared(state, obs, pose, cfg)
+        pre = _associate_shared(state, obs, obs_valid, pose, cfg)
 
         def mapping(state):
             if cfg.vectorized_mapping:

@@ -24,6 +24,11 @@ class SlamState:
     loop_closure_complete: jax.Array  # bool — map frozen, localization mode (src/slam.cpp:631)
     keyframe_count: jax.Array       # i32
     send_cone_data: jax.Array       # bool — currentConeIndex changed (src/slam.cpp:385)
+    lm_info_xy: jax.Array           # [L,3] packed per-landmark 2x2 information
+    # (a, b, c) of [[a, b], [b, c]] — the accumulated measurement information
+    # driving Mahalanobis gating (cfg.association='mahalanobis'); zero rows
+    # for unused slots. The reference has no landmark covariances at all
+    # (Euclidean gate, src/slam.cpp:584).
 
 
 def initial_state(cap: GraphCapacity) -> SlamState:
@@ -34,4 +39,5 @@ def initial_state(cap: GraphCapacity) -> SlamState:
         loop_closure_complete=jnp.asarray(False),
         keyframe_count=jnp.int32(0),
         send_cone_data=jnp.asarray(False),
+        lm_info_xy=jnp.zeros((cap.max_landmarks, 3), jnp.float32),
     )

@@ -45,6 +45,7 @@ def save_checkpoint(path: str, state: SlamState, cfg: SlamConfig,
         "loop_closure_complete": np.asarray(state.loop_closure_complete),
         "keyframe_count": np.asarray(state.keyframe_count),
         "send_cone_data": np.asarray(state.send_cone_data),
+        "lm_info_xy": np.asarray(state.lm_info_xy),
         "format_version": np.asarray(FORMAT_VERSION),
     }
     meta = {"config": _config_fingerprint(cfg)}
@@ -85,5 +86,7 @@ def load_checkpoint(path: str, cfg: SlamConfig | None = None):
         loop_closure_complete=jnp.asarray(z["loop_closure_complete"]),
         keyframe_count=jnp.asarray(z["keyframe_count"]),
         send_cone_data=jnp.asarray(z["send_cone_data"]),
+        lm_info_xy=(jnp.asarray(z["lm_info_xy"]) if "lm_info_xy" in z.files
+                    else jnp.zeros((g.lm_xy.shape[0], 3), jnp.float32)),
     )
     return state, meta

@@ -49,9 +49,20 @@ class SlamConfig:
                                           # (warm-started, so few are needed;
                                           # closure still runs gn_iterations)
     mahalanobis_gate: float = 9.21        # chi2(2) 99% gate for 'mahalanobis' mode
-    obs_noise_std: float = 0.3            # assumed obs sigma for Mahalanobis covariances
+    obs_noise_std: float = 0.3            # assumed range sigma [m] for the
+                                          # Mahalanobis measurement information
+    obs_noise_az_deg: float = 0.3         # assumed azimuth sigma [deg] — the
+                                          # tangential information is
+                                          # 1/(range * sigma_az_rad)^2
     vectorized_mapping: bool = True       # batched mapping step (same semantics,
                                           # ~10x faster; False = lax.scan form)
+    use_pallas_association: bool = False  # route association through the
+                                          # tiled Pallas kernel
+                                          # (ops/pallas_assoc.py) instead of
+                                          # the dense (N x M) matrix — for
+                                          # maps too large to materialize per
+                                          # frame; 'nearest'/'mahalanobis'
+                                          # only ('first' needs index order)
     in_frame_dup_depth: int = 4           # max same-frame duplicate-chain depth
                                           # merged by the vectorized step; the
                                           # scan form is unbounded (sequential);
