@@ -177,3 +177,48 @@ def test_service_integrated_lidar_frontend():
     lm, _ = svc.slam.draw_cones()
     d = np.linalg.norm(lm[:, None, :] - cones_global[None], axis=-1).min(axis=1)
     assert np.median(d) < 0.4, (lm, d)
+
+
+def test_calibration_xml_parses_reference_file():
+    """Parse the reference's shipped boost-serialized VLP-16 calibration
+    (reference usecase/VLP-16.xml) and cross-check against the transcribed
+    constants."""
+    import numpy as np
+
+    from tpuslam.perception.calib import load_calibration
+    from tpuslam.perception.vlp16 import (DISTANCE_RESOLUTION_M,
+                                          VLP16_ELEVATIONS_DEG)
+
+    calib = load_calibration("/root/reference/usecase/VLP-16.xml")
+    assert abs(calib.dist_lsb_m - DISTANCE_RESOLUTION_M) < 1e-12  # 0.2 cm
+    assert calib.n_lasers == 64          # boost DB carries 64 px records
+    np.testing.assert_array_equal(calib.position_xyz, 0.0)
+    # the first 16 lasers are the VLP-16 firing set -15..+15 in 2-deg steps
+    v16 = calib.vert_correction_deg[:16]
+    assert sorted(v16.tolist()) == list(range(-15, 16, 2))
+    np.testing.assert_array_equal(calib.rot_correction_deg[:16], 0.0)
+    np.testing.assert_array_equal(calib.dist_correction_m[:16], 0.0)
+    elevs = calib.elevations_for_channels(16)
+    np.testing.assert_array_equal(elevs, VLP16_ELEVATIONS_DEG[
+        np.argsort(np.arange(16))])  # firing order == laser-id order here
+
+
+def test_decode_point_cloud_reading_with_calibration():
+    """Decoding with the real calibration equals the constant path when the
+    calibration matches the transcribed defaults."""
+    import numpy as np
+
+    from tpuslam.io import messages as M
+    from tpuslam.perception.calib import load_calibration
+    from tpuslam.perception.vlp16 import decode_point_cloud_reading
+
+    calib = load_calibration("/root/reference/usecase/VLP-16.xml")
+    counts = (np.arange(32, dtype=">u2") * 100 + 500)
+    msg = M.PointCloudReading(startAzimuth=0.0, endAzimuth=10.0,
+                              entriesPerAzimuth=16,
+                              distances=counts.tobytes())
+    pts_const, _ = decode_point_cloud_reading(msg)
+    pts_calib, _ = decode_point_cloud_reading(msg, calib=calib)
+    # same vertical angle set; rows may permute if firing order differed,
+    # but this calibration lists lasers in firing order -> identical
+    np.testing.assert_allclose(pts_const, pts_calib, atol=1e-9)

@@ -104,22 +104,30 @@ def packet_to_points(payload: bytes, min_range=0.5):
     return pts.reshape(-1, 3)[keep], inten.reshape(-1)[keep]
 
 
-def decode_point_cloud_reading(msg, elevations=VLP16_ELEVATIONS_DEG):
+def decode_point_cloud_reading(msg, elevations=VLP16_ELEVATIONS_DEG,
+                               calib=None):
     """opendlv.proxy.PointCloudReading -> (points [N,3], intensity [N]|None).
 
     Compact format (odvd:160-166): `distances` holds interleaved uint16
     distance counts (0.2 cm LSB per the usecase calibration, usecase/
     VLP-16.xml distLSB_=0.2) for `entriesPerAzimuth` beams per azimuth step,
-    azimuth linearly spaced start..end.
+    azimuth linearly spaced start..end. Pass `calib`
+    (perception.calib.load_calibration of the real XML) to take the distance
+    LSB and per-laser vertical angles from the shipped calibration instead
+    of the transcribed constants.
     """
     data = msg.distances
     if isinstance(data, str):
         data = data.encode("latin-1")
     n_beams = int(msg.entriesPerAzimuth) or 16
+    dist_lsb_m = DISTANCE_RESOLUTION_M
+    if calib is not None:
+        dist_lsb_m = calib.dist_lsb_m
+        elevations = calib.elevations_for_channels(n_beams)
     counts = np.frombuffer(data, dtype=">u2").astype(np.float64)
     n_az = len(counts) // n_beams
     counts = counts[: n_az * n_beams].reshape(n_az, n_beams)
-    dist_m = counts * 0.002  # distLSB 0.2 cm
+    dist_m = counts * dist_lsb_m
     az = np.linspace(msg.startAzimuth, msg.endAzimuth, n_az)
     elev = elevations[:n_beams]
     pts = spherical_to_xyz(np.repeat(az[:, None], n_beams, 1),
