@@ -259,33 +259,36 @@ int64_t od4r_drain(int64_t h, uint8_t* buf, int64_t cap, int64_t* offs,
                    int64_t* lens, int64_t* ts_us, int64_t maxn) {
   Endpoint* ep = acquire(h);
   if (ep == nullptr) return -1;
-  std::lock_guard<std::mutex> l(ep->mu);
   int64_t n = 0;
-  int64_t out = 0;
-  size_t taken = 0;
-  for (const Datagram& d : ep->queue) {
-    if (n >= maxn || out + d.len > cap) break;
-    std::memcpy(buf + out, ep->arena.data() + d.off, d.len);
-    offs[n] = out;
-    lens[n] = d.len;
-    ts_us[n] = d.ts_us;
-    out += d.len;
-    ++n;
-    ++taken;
-  }
-  if (taken == ep->queue.size()) {
-    ep->queue.clear();
-    ep->arena_used = 0;
-  } else if (taken > 0) {
-    // compact the remainder to the arena head (rare: partial drain)
-    ep->queue.erase(ep->queue.begin(), ep->queue.begin() + taken);
-    int64_t used = 0;
-    for (Datagram& d : ep->queue) {
-      std::memmove(ep->arena.data() + used, ep->arena.data() + d.off, d.len);
-      d.off = used;
-      used += d.len;
+  {  // the guard must unlock BEFORE release(): after the refcount drops,
+     // od4r_close may delete the mutex at any instant
+    std::lock_guard<std::mutex> l(ep->mu);
+    int64_t out = 0;
+    size_t taken = 0;
+    for (const Datagram& d : ep->queue) {
+      if (n >= maxn || out + d.len > cap) break;
+      std::memcpy(buf + out, ep->arena.data() + d.off, d.len);
+      offs[n] = out;
+      lens[n] = d.len;
+      ts_us[n] = d.ts_us;
+      out += d.len;
+      ++n;
+      ++taken;
     }
-    ep->arena_used = used;
+    if (taken == ep->queue.size()) {
+      ep->queue.clear();
+      ep->arena_used = 0;
+    } else if (taken > 0) {
+      // compact the remainder to the arena head (rare: partial drain)
+      ep->queue.erase(ep->queue.begin(), ep->queue.begin() + taken);
+      int64_t used = 0;
+      for (Datagram& d : ep->queue) {
+        std::memmove(ep->arena.data() + used, ep->arena.data() + d.off, d.len);
+        d.off = used;
+        used += d.len;
+      }
+      ep->arena_used = used;
+    }
   }
   release(ep);
   return n;
