@@ -114,6 +114,28 @@ def main():
         _ = int(sts_i.graph.n_poses[0])  # hard sync, pipelined
     fps_batched = n_pass_b * n_sess * t_b / (time.perf_counter() - t0)
 
+    # ATE parity on the other BASELINE configs (skidpad / acceleration):
+    # published trajectory must match the reference-semantics CPU golden
+    extra_ate = {}
+    from tpuslam.sim import acceleration, skidpad
+    for name, tk in (("skidpad", skidpad()), ("acceleration", acceleration())):
+        sc = simulate(tk, SimConfig(laps=1.3 if name == "skidpad" else 1.0,
+                                    seed=5))
+        tt = len(sc.times)
+        cap2 = GraphCapacity(max_poses=max(64, 1 << (tt - 1).bit_length()),
+                             max_landmarks=128, max_obs=4096)
+        st2b, outs2b = run_sequence(
+            initial_state(cap2), jnp.asarray(sc.obs, jnp.float32),
+            jnp.asarray(sc.obs_valid), jnp.asarray(sc.odom_poses, jnp.float32),
+            SlamConfig(capacity=cap2))
+        gold2 = GoldenSlam()
+        gold2.run_scenario(sc)
+        extra_ate[f"ate_{name}_m"] = round(float(ate(
+            np.asarray(outs2b.pose)[:, :2], sc.gt_poses[:tt, :2])), 4)
+        extra_ate[f"baseline_ate_{name}_m"] = round(float(ate(
+            np.stack(gold2.trajectory)[:, :2], sc.gt_poses[:tt, :2])), 4) \
+            if gold2.trajectory else float("nan")
+
     # measured CPU baseline (reference-semantics golden frontend)
     gold = GoldenSlam()
     t0 = time.perf_counter()
@@ -143,6 +165,7 @@ def main():
         "loop_closed": closed,
         "frames": t_frames,
         "device": str(jax.devices()[0]),
+        **extra_ate,
     }))
 
 
