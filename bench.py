@@ -95,7 +95,8 @@ def main():
     # independent sessions amortizes the per-op dispatch of this tiny-state
     # workload — the single-chip half of "multi-session pod-scale mapping"
     from tpuslam.parallel.batch import run_passes_batched
-    n_sess = 8
+    n_sess = 16  # measured knee: per-session cost flattens past 16 (the
+                 # per-closure GNs start to dominate)
     scens_b = [simulate(trackdrive(seed=11), SimConfig(
         laps=1.4, keyframe_dt=0.1, speed=8.0, max_range=20.0, seed=20 + s))
         for s in range(n_sess)]
