@@ -58,7 +58,7 @@ class GNConfig:
     # the smallest bucket covering n_poses instead of the full capacity; the
     # padding region of the gauged system is exactly identity/zero, so every
     # bucket yields bit-identical updates to the full solve.
-    edge_bucket_step: int = 4096                   # edge-count granularity of the
+    edge_bucket_step: int = 2048                   # edge-count granularity of the
     # assembly (0 disables). Landmark-edge residuals/scatters run on the
     # smallest bucket covering n_obs; the edge list is append-only, so the
     # sliced-away tail is exactly the zero-weight padding. Equivalent up to
