@@ -119,9 +119,12 @@ def main():
     # published trajectory must match the reference-semantics CPU golden
     extra_ate = {}
     from tpuslam.sim import acceleration, skidpad
-    for name, tk in (("skidpad", skidpad()), ("acceleration", acceleration())):
-        sc = simulate(tk, SimConfig(laps=1.3 if name == "skidpad" else 1.0,
-                                    seed=5))
+    # distinct seeds/cadence per config: odometry noise is additive and
+    # track-independent in the simulator, so identical seeds would make the
+    # two configs report bit-identical ATE (uninformative)
+    for name, tk, laps, seed in (("skidpad", skidpad(), 1.3, 5),
+                                 ("acceleration", acceleration(), 1.0, 6)):
+        sc = simulate(tk, SimConfig(laps=laps, keyframe_dt=0.25, seed=seed))
         tt = len(sc.times)
         cap2 = GraphCapacity(max_poses=max(64, 1 << (tt - 1).bit_length()),
                              max_landmarks=128, max_obs=4096)
