@@ -1,0 +1,132 @@
+"""Blocked pipeline (frontend/blocked.py) vs per-frame run_sequence.
+
+The blocked fast path re-derives the sequential mapping/localization
+semantics with segmented prefix scans; these tests require *bit-exact*
+equality of the final state pytree and every per-frame output against
+`run_sequence` on full laps (mapping -> closure -> localization), across
+association policies, block sizes, and non-multiple-of-block lengths.
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpuslam.backend.graph import GraphCapacity
+from tpuslam.frontend.blocked import run_sequence_blocked
+from tpuslam.frontend.pipeline import run_sequence
+from tpuslam.frontend.state import initial_state
+from tpuslam.runtime.config import SlamConfig
+from tpuslam.sim import SimConfig, simulate, skidpad, trackdrive
+
+
+def _scenario(track_fn, seed, laps=1.4, **kw):
+    track = track_fn(seed=seed) if track_fn is trackdrive else track_fn()
+    scen = simulate(track, SimConfig(laps=laps, keyframe_dt=0.1, speed=8.0,
+                                     max_range=20.0, seed=seed + 1, **kw))
+    T = len(scen.times)
+    cap = GraphCapacity(max_poses=max(64, 1 << (T - 1).bit_length()),
+                        max_landmarks=256, max_obs=8192)
+    return (jnp.asarray(scen.obs, jnp.float32),
+            jnp.asarray(scen.obs_valid),
+            jnp.asarray(scen.odom_poses, jnp.float32), cap)
+
+
+def _assert_tree_equal(a, b, what):
+    la, _ = jax.tree.flatten(a)
+    lb, _ = jax.tree.flatten(b)
+    assert len(la) == len(lb)
+    for i, (x, y) in enumerate(zip(la, lb)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                      err_msg=f"{what} leaf {i}")
+
+
+def _assert_state_equal(s1, s2, what):
+    """Exact state equality, masking edge-array scratch rows past n_obs
+    (both pipelines leave different garbage in the unwritten tail)."""
+    n = int(s1.graph.n_obs)
+    assert n == int(s2.graph.n_obs), what
+    g1, g2 = s1.graph, s2.graph
+    for f in ("obs_pose", "obs_lm", "obs_xy"):
+        np.testing.assert_array_equal(np.asarray(getattr(g1, f))[:n],
+                                      np.asarray(getattr(g2, f))[:n],
+                                      err_msg=f"{what} graph.{f}[:n_obs]")
+    strip = dict(obs_pose=0, obs_lm=0, obs_xy=0)
+    t1 = dataclasses.replace(s1, graph=dataclasses.replace(
+        g1, **{k: jnp.zeros_like(getattr(g1, k)) for k in strip}))
+    t2 = dataclasses.replace(s2, graph=dataclasses.replace(
+        g2, **{k: jnp.zeros_like(getattr(g2, k)) for k in strip}))
+    _assert_tree_equal(t1, t2, what)
+
+
+@pytest.mark.parametrize("association", ["first", "nearest"])
+@pytest.mark.parametrize("block", [4, 8])
+def test_blocked_matches_run_sequence(association, block):
+    obs, valid, poses, cap = _scenario(trackdrive, seed=11)
+    cfg = SlamConfig(capacity=cap, association=association)
+    s1, o1 = run_sequence(initial_state(cap), obs, valid, poses, cfg)
+    s2, o2 = run_sequence_blocked(initial_state(cap), obs, valid, poses,
+                                  cfg, block=block)
+    assert bool(s1.loop_closure_complete)  # the lap actually closes
+    _assert_tree_equal(o1, o2, f"outputs[{association},B={block}]")
+    _assert_state_equal(s1, s2, f"state[{association},B={block}]")
+
+
+def test_blocked_skidpad_and_ragged_length():
+    """Skidpad lap + a T that is not a multiple of the block size."""
+    obs, valid, poses, cap = _scenario(skidpad, seed=3, laps=1.3)
+    assert obs.shape[0] % 8 != 0 or obs.shape[0] % 5 != 0
+    cfg = SlamConfig(capacity=cap)
+    s1, o1 = run_sequence(initial_state(cap), obs, valid, poses, cfg)
+    s2, o2 = run_sequence_blocked(initial_state(cap), obs, valid, poses,
+                                  cfg, block=5)
+    _assert_tree_equal(o1, o2, "outputs[skidpad,B=5]")
+    _assert_state_equal(s1, s2, "state[skidpad,B=5]")
+
+
+def test_blocked_with_gps_outlier_frames():
+    """Frames failing the GPS outlier guard must stay exact no-ops."""
+    obs, valid, poses, cap = _scenario(trackdrive, seed=7)
+    poses = poses.at[10].set(jnp.asarray([500.0, 0.0, 0.0]))   # outlier
+    poses = poses.at[43].set(jnp.asarray([0.0, -900.0, 1.0]))
+    cfg = SlamConfig(capacity=cap)
+    s1, o1 = run_sequence(initial_state(cap), obs, valid, poses, cfg)
+    s2, o2 = run_sequence_blocked(initial_state(cap), obs, valid, poses,
+                                  cfg, block=8)
+    _assert_tree_equal(o1, o2, "outputs[outliers]")
+    _assert_state_equal(s1, s2, "state[outliers]")
+
+
+def test_blocked_localizer_refine():
+    obs, valid, poses, cap = _scenario(trackdrive, seed=11)
+    cfg = SlamConfig(capacity=cap, localizer_refine=True)
+    s1, o1 = run_sequence(initial_state(cap), obs, valid, poses, cfg)
+    s2, o2 = run_sequence_blocked(initial_state(cap), obs, valid, poses,
+                                  cfg, block=8)
+    assert bool(s1.loop_closure_complete)
+    _assert_tree_equal(o1, o2, "outputs[refine]")
+    _assert_state_equal(s1, s2, "state[refine]")
+
+
+def test_blocked_rejects_unsupported_config():
+    obs, valid, poses, cap = _scenario(skidpad, seed=3, laps=1.0)
+    cfg = SlamConfig.improved(capacity=cap)
+    with pytest.raises(ValueError):
+        run_sequence_blocked(initial_state(cap), obs, valid, poses, cfg)
+
+
+def test_blocked_edge_capacity_saturation_falls_back():
+    """Near edge capacity the blocked path must defer to the per-frame scan
+    and still match it exactly."""
+    obs, valid, poses, _ = _scenario(skidpad, seed=3, laps=1.0)
+    T = obs.shape[0]
+    cap = GraphCapacity(max_poses=max(64, 1 << (T - 1).bit_length()),
+                        max_landmarks=256,
+                        max_obs=128)                      # tiny: saturates
+    cfg = SlamConfig(capacity=cap)
+    s1, o1 = run_sequence(initial_state(cap), obs, valid, poses, cfg)
+    s2, o2 = run_sequence_blocked(initial_state(cap), obs, valid, poses,
+                                  cfg, block=8)
+    _assert_tree_equal(o1, o2, "outputs[saturated]")
+    _assert_state_equal(s1, s2, "state[saturated]")

@@ -157,43 +157,59 @@ def landmark_edge_blocks(poses, lm_xy, obs_pose, obs_lm, obs_xy, w_l, n_landmark
     gl [L,2]). All outputs are sums over the given edges, so shard-local
     results from an edge-sharded mesh psum into the full-graph totals —
     this is the distributed-Schur building block (SURVEY.md §2.4).
+
+    TPU note: every aggregation here is a one-hot matmul, not a
+    scatter-add/segment_sum — XLA lowers indexed scatters to sort-based
+    loops that cost milliseconds at this scale, while the equivalent
+    [P,E]@[E,k] contractions ride the MXU in tens of microseconds.
     """
     P = poses.shape[0]
     L = n_landmarks
+    E = obs_pose.shape[0]
     dtype = poses.dtype
     r_l, j_lp, j_ll = landmark_residuals(poses[obs_pose], lm_xy[obs_lm], obs_xy)
 
     wl3 = w_l[:, None, None]
     jtp = jnp.swapaxes(j_lp, -1, -2)   # [E, 3, 2]
-    h_diag_lm = jax.ops.segment_sum(wl3 * (jtp @ j_lp), obs_pose, num_segments=P)
-    gp_lm = jax.ops.segment_sum(w_l[:, None] * (jtp @ r_l[..., None])[..., 0],
-                                obs_pose, num_segments=P)
+    onehot_p = (obs_pose[None, :] == jnp.arange(P)[:, None]).astype(dtype)  # [P,E]
+    onehot_l = (obs_lm[None, :] == jnp.arange(L)[:, None]).astype(dtype)    # [L,E]
 
-    rows_p = _block_idx(obs_pose, 3)
-    cols_l = _block_idx(obs_lm, 2)
-    w_mat = jnp.zeros((3 * P, 2 * L), dtype)
-    w_mat = w_mat.at[rows_p[:, :, None], cols_l[:, None, :]].add(wl3 * (jtp @ j_ll))
+    hpp_e = (wl3 * (jtp @ j_lp)).reshape(E, 9)
+    h_diag_lm = (onehot_p @ hpp_e).reshape(P, 3, 3)
+    gp_lm = onehot_p @ (w_l[:, None] * (jtp @ r_l[..., None])[..., 0])
+
+    # W[3p+i, 2l+j] = sum_e 1[pe=p] 1[le=l] w_e (Jp^T Jl)[e,i,j] — a double
+    # one-hot contraction: 6 (i,j) pairs of [P,E]@[E,L] MXU matmuls
+    w_e = wl3 * (jtp @ j_ll)                                # [E, 3, 2]
+    w_mat = jnp.einsum("pe,eij,le->pilj", onehot_p, w_e,
+                       onehot_l).reshape(3 * P, 2 * L)
 
     jtl = jnp.swapaxes(j_ll, -1, -2)
-    hll = jax.ops.segment_sum(wl3 * (jtl @ j_ll), obs_lm, num_segments=L)
-    gl = jax.ops.segment_sum(w_l[:, None] * (jtl @ r_l[..., None])[..., 0],
-                             obs_lm, num_segments=L)
+    hll_e = (wl3 * (jtl @ j_ll)).reshape(E, 4)
+    hll = (onehot_l @ hll_e).reshape(L, 2, 2)
+    gl = onehot_l @ (w_l[:, None] * (jtl @ r_l[..., None])[..., 0])
     return h_diag_lm, w_mat, hll, gp_lm, gl
 
 
 def densify_hpp(h_diag, h_off):
     """(P,3,3) diagonal + (P,3,3) super-diagonal blocks -> dense [3P,3P].
 
-    Disjoint-index scatters only (one slot per block) — cheap on TPU.
+    Built with broadcast multiplies against (shifted-)identity masks — a
+    fused elementwise write of the 3Px3P buffer. The indexed-scatter form
+    XLA lowers to a sort-based loop costing ~0.5 ms per scatter at P=512;
+    this is one pass over the output.
     """
     P = h_diag.shape[0]
     k = jnp.arange(P)
-    h4 = jnp.zeros((P, 3, P, 3), h_diag.dtype)
-    h4 = h4.at[k, :, k, :].set(h_diag)
-    km = jnp.maximum(k - 1, 0)
-    # guard k=0: its h_off block is zero-weight by construction
-    h4 = h4.at[km, :, k, :].add(h_off)
-    h4 = h4.at[k, :, km, :].add(jnp.swapaxes(h_off, -1, -2))
+    eye = (k[:, None] == k[None, :]).astype(h_diag.dtype)        # [P,P]
+    up = (k[None, :] == k[:, None] + 1).astype(h_diag.dtype)     # q == p+1
+    # h4[p,i,q,j] = eye[p,q] h_diag[p,i,j]
+    #             + up[p,q]  h_off[q,i,j]      (block (q-1, q))
+    #             + up[q,p]  h_off[p,j,i]^T as (q, q-1)^T at (p, q)
+    h4 = (eye[:, None, :, None] * h_diag[:, :, None, :]
+          + up[:, None, :, None] * jnp.transpose(h_off, (1, 0, 2))[None]
+          + up.T[:, None, :, None]
+          * jnp.transpose(h_off, (0, 2, 1))[:, :, None, :])
     return h4.reshape(3 * P, 3 * P)
 
 
@@ -395,28 +411,44 @@ def gn_step(g: FactorGraph, cfg: GNConfig) -> FactorGraph:
                                  use_cholesky_kernel=cfg.use_cholesky_kernel)
     d_pose = dp.reshape(-1, 3)
     poses = g.poses + d_pose
-    poses = poses.at[:, 2].set(se2.wrap_angle(poses[:, 2]))
+    # wrap only active vertices: rows >= n_poses receive an exact-zero
+    # update, and wrap_angle is not a bit-exact identity in f32 — rows a
+    # caller has pre-inserted past the pinned n_poses (the blocked
+    # pipeline's in-body closure GN) must come through untouched
+    act = jnp.arange(poses.shape[0]) < g.n_poses
+    poses = poses.at[:, 2].set(
+        jnp.where(act, se2.wrap_angle(poses[:, 2]), poses[:, 2]))
     return dataclasses.replace(g, poses=poses, lm_xy=g.lm_xy + dl)
 
 
 @partial(jax.jit, static_argnames="cfg")
-def optimize(g: FactorGraph, cfg: GNConfig) -> FactorGraph:
+def optimize(g: FactorGraph, cfg: GNConfig, enable=None) -> FactorGraph:
     """Run `cfg.iterations` GN iterations (reference runs 10, src/slam.cpp:481).
 
     With `cfg.early_exit_tol > 0` the loop stops as soon as an iteration's
     max |update| (poses and landmarks) drops to the tolerance — same fixed
     upper bound, measurably identical result (each skipped step would have
-    moved the estimate by less than the tolerance)."""
-    if cfg.early_exit_tol <= 0.0:
-        def body(_, gg):
-            return gn_step(gg, cfg)
-        return jax.lax.fori_loop(0, cfg.iterations, body, g)
+    moved the estimate by less than the tolerance).
 
-    tol = jnp.asarray(cfg.early_exit_tol, g.poses.dtype)
+    `enable` (traced bool, optional) gates the whole optimization via the
+    loop's trip count: False = zero iterations = exact identity. Callers
+    inside scans should prefer `optimize(g, cfg, enable=flag)` over
+    `lax.cond(flag, optimize, identity)` — a zero-trip while_loop skips the
+    assemble/solve body entirely, whereas a conditional carrying the graph
+    state forces per-iteration buffer copies of the branch operands on TPU
+    (measured ~0.5 ms/scan-iteration on v5e, even when never taken).
+    """
+    iters = jnp.int32(cfg.iterations)
+    if enable is not None:
+        iters = jnp.where(enable, iters, 0)
+    # early_exit_tol == 0 degenerates to a pure count loop (delta > -inf),
+    # executing the exact same gn_step sequence the fori form did.
+    tol = jnp.asarray(cfg.early_exit_tol, g.poses.dtype) \
+        if cfg.early_exit_tol > 0.0 else jnp.asarray(-jnp.inf, g.poses.dtype)
 
     def cond(carry):
         gg, i, delta = carry
-        return (i < cfg.iterations) & (delta > tol)
+        return (i < iters) & (delta > tol)
 
     def body(carry):
         gg, i, _ = carry

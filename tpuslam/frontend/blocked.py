@@ -1,0 +1,627 @@
+"""Frame-blocked device pipeline: B keyframes per scan step, GN-free loops.
+
+`run_sequence` (tpuslam/frontend/pipeline.py) executes one keyframe per
+lax.scan iteration; a whole-lap pass is dominated by per-iteration loop costs,
+not FLOPs or HBM. Two measured v5e pathologies shape this module's design:
+
+1. A `lax.cond` branch inside a scan costs ~0.1-0.5 ms per scan iteration
+   *even when never taken* (branch operand copies defeat the loop's buffer
+   aliasing), so the block scan bodies are straight-line programs — mode
+   handling and commit/abort decisions are elementwise `jnp.where` selects,
+   never conditionals.
+2. Merely *containing* the Gauss-Newton solver (its ~30 MB of dense-blocked
+   temporaries) multiplies a loop iteration's cost by ~3x, even behind a
+   zero-trip while_loop. So no loop in this module contains GN at all: the
+   one-shot closure optimization (reference src/slam.cpp:625-633) is hoisted
+   to the top level of the pass, between two GN-free scans.
+
+Structure of a pass:
+
+- **scan-1 (mapping)**: blocks run the batched mapping update — the same
+  machinery `_mapping_step_vectorized` uses within one frame, extended
+  across the block. Cross-frame matches to landmarks created earlier in the
+  block become duplicate-representative assignments over the flattened
+  (B*N) observation axis; the reference's ``currentConeIndex/minDistance``
+  carry (reset per frame, carried across frames — src/slam.cpp:385-387) is
+  a within-frame exclusive prefix-argmin plus a frame-level "last-valid"
+  associative carry; the bootstrap (src/slam.cpp:554-567) seeds in-body.
+  Loop closure (src/slam.cpp:593-596) is detected exactly from the
+  prefixes; the closure block commits its frames up to and including the
+  closure frame (observations after the closure obs are suppressed exactly
+  like ``closed_before``), marks the map complete, and the scan stops
+  committing (later blocks become exact no-ops via their commit mask).
+- **top level**: one `gn.optimize` (enable-gated: zero-trip when the lap
+  has not closed), operating on exactly the graph run_sequence's per-frame
+  GN saw — scan-1 inserted no poses/edges past the closure frame. The
+  closure frame's outgoing cone packet is then patched to the post-GN map
+  (run_sequence computes it after its in-frame GN).
+- **scan-2 (localization)**: blocks run the frozen-map localizer
+  (src/slam.cpp:340-414) for every frame after the closure, fully parallel
+  except the B-long last-valid carry of ``currentConeIndex``. The first
+  post-closure pose inserts against the post-GN estimate of the closure
+  pose — the same odometry measurement the per-frame path computes.
+
+Blocks neither scan can commit exactly — empty-map blocks whose first
+observation is invalid, and pose/edge/landmark capacity saturation — stop
+the scans; `_blocked_core` reports `done_upto` and the **host-side** wrapper
+`run_sequence_blocked` finishes the remainder with the per-frame scan in a
+separate dispatch (keeping the taxed construct out of the compiled hot
+program entirely). On a normal lap no fallback fires and the wrapper costs
+one scalar readback.
+
+Equivalence to `run_sequence` is bit-exact for association policies 'first'
+(the reference's) and 'nearest' — enforced by
+tests/test_blocked_equivalence.py. Unsupported configs (mahalanobis
+information accumulation, the Pallas association provider, periodic GN, GPS
+priors) raise — use `run_sequence` for those.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from tpuslam.backend import gauss_newton as gn
+from tpuslam.backend import graph as G
+from tpuslam.frontend.keyframe import (
+    KeyframeOutputs, _body_xy, _gn_config, _pose_refine,
+    _prefix_argmin_exclusive, perform_keyframe,
+)
+from tpuslam.frontend.state import SlamState
+from tpuslam.geometry import se2
+from tpuslam.geometry.spherical import cone_to_global, global_to_body_spherical
+from tpuslam.runtime.config import SlamConfig
+
+__all__ = ["run_sequence_blocked", "run_pass_blocked", "blocked_supported",
+           "blocked_core"]
+
+
+def blocked_supported(cfg: SlamConfig) -> bool:
+    """Configs the block-fast path reproduces exactly."""
+    return (cfg.association in ("first", "nearest")
+            and not cfg.use_pallas_association
+            and cfg.vectorized_mapping
+            and cfg.periodic_gn_every == 0
+            and not cfg.use_gps_prior)
+
+
+def _last_valid_inclusive(init, has, val):
+    """s[f] = val[f] if has[f] else s[f-1], with s[-1] = init."""
+    def op(a, b):
+        ha, va = a
+        hb, vb = b
+        return (ha | hb, jnp.where(hb, vb, va))
+
+    h, v = jax.lax.associative_scan(op, (has, val))
+    return jnp.where(h, v, init)
+
+
+def _exclusive_from_inclusive(series, init):
+    return jnp.concatenate([jnp.asarray(init, series.dtype)[None],
+                            series[:-1]])
+
+
+def _pose_insert_plan(g, poses, ok_pose):
+    """Per-frame pose indices + odometry measurements (no writes).
+
+    Replicates the per-frame `G.add_pose` sequence (reference
+    src/slam.cpp:433-459): the session's first pose gets a zero odometry
+    measurement (run_sequence's ``n_poses > 0`` gate); every other insertion
+    measures against the previous inserted pose's *estimate* — the graph
+    entry for the block's first frame, the raw input pose for later frames
+    (estimates == inputs inside a block; no GN runs inside scans here).
+    """
+    B = poses.shape[0]
+    ins_i = ok_pose.astype(jnp.int32)
+    n_after = g.n_poses + jnp.cumsum(ins_i)
+    pose_idx = n_after - 1                                   # valid where ins
+
+    fidx = jnp.arange(B)
+    prev_f = _exclusive_from_inclusive(
+        _last_valid_inclusive(jnp.int32(-1), ok_pose, fidx.astype(jnp.int32)),
+        jnp.int32(-1))
+    prev0 = g.poses[jnp.maximum(g.n_poses - 1, 0)]
+    prev = jnp.where((prev_f >= 0)[:, None],
+                     poses[jnp.maximum(prev_f, 0)], prev0[None, :])
+    odo = jnp.where((pose_idx == 0)[:, None],
+                    jnp.zeros((), poses.dtype), se2.between(prev, poses))
+    return pose_idx, n_after, odo
+
+
+def _scatter_poses(g, poses, odo, pose_idx, ins):
+    cap_p = g.poses.shape[0]
+    to = jnp.where(ins, pose_idx, cap_p)
+    return dataclasses.replace(
+        g,
+        poses=g.poses.at[to].set(poses, mode="drop"),
+        odo_meas=g.odo_meas.at[to].set(odo, mode="drop"),
+        n_poses=g.n_poses + jnp.sum(ins.astype(jnp.int32)),
+    )
+
+
+def _packet_series(lm_xy, lm_type, n_lm_after, cur_after, out_pose,
+                   cfg: SlamConfig):
+    """Per-frame upcoming-cone packets (see `_cone_packet`) from given
+    landmark arrays with per-frame (currentConeIndex, n_landmarks)."""
+    k = jnp.arange(cfg.cones_per_packet)
+    idx = cur_after[:, None] + k[None, :]
+    n = jnp.maximum(n_lm_after, 1)[:, None]
+    idx = jnp.where(idx < n, idx, idx - n)
+    idx = jnp.clip(idx, 0, n - 1)
+    az, dist = global_to_body_spherical(out_pose[:, None, :], lm_xy[idx],
+                                        cfg.reference_compat)
+    return az, dist, lm_type[idx]
+
+
+def _mapping_block(state: SlamState, obs, valid, poses, okp,
+                   cfg: SlamConfig):
+    """Straight-line mapping-mode block (reference src/slam.cpp:552-635),
+    GN-free: on closure, frames up to the closure frame commit and
+    `loop_closure_complete` is set; the caller's top-level GN finishes the
+    job. An all-False okp makes the body an exact no-op.
+
+    Returns (new_state, outputs [B], aux dict).
+    """
+    g0 = state.graph
+    B, N = valid.shape
+    BN = B * N
+    cap_l = g0.lm_xy.shape[0]
+    cap_e = g0.obs_pose.shape[0]
+    cap_p = g0.poses.shape[0]
+    thresh2 = cfg.same_cone_threshold * cfg.same_cone_threshold
+    n_poses0, n_obs0, n_lm0 = g0.n_poses, g0.n_obs, g0.n_landmarks
+
+    pose_idx_f, n_pose_after, odo_f = _pose_insert_plan(g0, poses, okp)
+    g = g0
+
+    frame_of = jnp.repeat(jnp.arange(B, dtype=jnp.int32), N)
+    fidx = jnp.arange(B, dtype=jnp.int32)
+    valid_k = (valid & okp[:, None]).reshape(BN)
+    obs_k = obs.reshape(BN, 4)
+    glob_k = jax.vmap(lambda p, ob: cone_to_global(
+        p, ob[..., 0], ob[..., 1], ob[..., 2], cfg.lidar_to_cog,
+        cfg.reference_compat))(poses, obs).reshape(BN, 2)
+    body_k = _body_xy(obs, cfg).reshape(BN, 2)
+    otype_k = obs_k[:, 3].astype(jnp.int32)
+    d2car_k = obs_k[:, 2]
+
+    # ---- bootstrap (reference src/slam.cpp:554-567): empty map + valid
+    # first observation seeds landmark 0 with an extra edge; it joins the
+    # phase-A snapshot so obs (0,0) re-matches it (the double edge).
+    boot = (n_lm0 == 0) & valid[0, 0] & okp[0]
+    g = G.add_landmark(g, glob_k[0], otype_k[0], enable=boot)
+    g = G.add_observation(g, pose_idx_f[0], jnp.int32(0), body_k[0],
+                          enable=boot)
+
+    # ---- phase A: association against the block-start (post-boot) map
+    lm_valid1 = jnp.arange(cap_l) < g.n_landmarks
+    diff = glob_k[:, None, :] - g.lm_xy[None, :, :]
+    cost = jnp.sum(diff * diff, axis=-1)
+    ok = ((g.lm_type[None, :] == otype_k[:, None]) & lm_valid1[None, :]
+          & (cost < thresh2) & valid_k[:, None])
+    if cfg.association == "first":
+        j_snap = jnp.argmax(ok, axis=1).astype(jnp.int32)
+    else:
+        j_snap = jnp.argmin(jnp.where(ok, cost, 1e30), axis=1).astype(jnp.int32)
+    snap_match = jnp.any(ok, axis=1)
+
+    # ---- in-block creations + duplicate representatives. Candidates are
+    # pre-suppression; closure suppression is applied post-hoc (the first
+    # closure obs precedes everything it suppresses, so representatives of
+    # surviving duplicates always survive too).
+    cand = valid_k & ~snap_match & (d2car_k < cfg.cone_mapping_threshold)
+    gd = glob_k[:, None, :] - glob_k[None, :, :]
+    gd2 = jnp.sum(gd * gd, axis=-1)
+    lower = jnp.arange(BN)[:, None] > jnp.arange(BN)[None, :]
+    gsame = (otype_k[:, None] == otype_k[None, :]) & (gd2 < thresh2) & lower
+    is_new = cand
+    for _ in range(cfg.in_frame_dup_depth + 4):
+        dup_of_new = jnp.any(gsame & is_new[None, :], axis=1)
+        is_new = cand & ~dup_of_new
+    rep_ok = gsame & is_new[None, :]
+    # a creation from an EARLIER frame is part of run_sequence's per-frame
+    # phase-A map (competes with snapshot landmarks under the association
+    # policy); a SAME-frame creation is the in-frame duplicate
+    # (first-representative, matching _mapping_step_vectorized)
+    prev_ok = rep_ok & (frame_of[None, :] < frame_of[:, None])
+    same_ok = rep_ok & (frame_of[None, :] == frame_of[:, None])
+    prev_any = jnp.any(prev_ok, axis=1)
+    if cfg.association == "nearest":
+        gd2_prev = jnp.where(prev_ok, gd2, jnp.inf)
+        rep_prev = jnp.argmin(gd2_prev, axis=1).astype(jnp.int32)
+        d2_ib = jnp.min(gd2_prev, axis=1)
+        cost_snap = jnp.where(
+            snap_match,
+            jnp.take_along_axis(cost, j_snap[:, None], axis=1)[:, 0], jnp.inf)
+        # strict <: ties go to the snapshot landmark (lower vertex index)
+        use_ib = prev_any & (d2_ib < cost_snap)
+    else:
+        rep_prev = jnp.argmax(prev_ok, axis=1).astype(jnp.int32)
+        use_ib = prev_any & ~snap_match
+    matched_pf = snap_match | prev_any           # run_sequence's "matched0"
+    rep_same = jnp.argmax(same_ok, axis=1).astype(jnp.int32)
+    dup_same = cand & ~matched_pf & jnp.any(same_ok, axis=1)
+
+    new_rank = jnp.cumsum(is_new.astype(jnp.int32)) - is_new.astype(jnp.int32)
+    slot_self = g.n_landmarks + new_rank
+    row_rep = jnp.where(use_ib, rep_prev,
+                        jnp.where(dup_same, rep_same,
+                                  jnp.arange(BN, dtype=jnp.int32)))
+    slot = jnp.where(is_new, slot_self, slot_self[row_rep])
+    slot_ok = slot < cap_l
+    target = jnp.where(matched_pf & ~use_ib, j_snap, slot)
+    target_xy = jnp.where((matched_pf & ~use_ib)[:, None],
+                          g.lm_xy[j_snap], glob_k[row_rep])
+
+    # ---- exact loop-closure detection (reference src/slam.cpp:593-596).
+    # cur_before evolves from *unsuppressed* phase-A matches within the
+    # frame (run_sequence uses matched0 there), carried across frames; the
+    # unsuppressed carry is identical to the committed one up to and
+    # including the first closure obs, which is all detection needs.
+    target_f = target.reshape(B, N)
+    vals_cl = jnp.where(matched_pf, d2car_k, jnp.inf).reshape(B, N)
+    pm_cl, pi_cl = jax.vmap(_prefix_argmin_exclusive, in_axes=(0, None))(
+        vals_cl, jnp.arange(N, dtype=jnp.int32))
+    cur_cand_uns = matched_pf | (dup_same & slot_ok)
+    vals_uns = jnp.where(cur_cand_uns, d2car_k, jnp.inf).reshape(B, N)
+    fsel_uns = target_f[jnp.arange(B), jnp.argmin(vals_uns, axis=1)]
+    cur_after_uns = _last_valid_inclusive(
+        state.current_cone_index, jnp.min(vals_uns, axis=1) < 100.0, fsel_uns)
+    cur_start_uns = _exclusive_from_inclusive(cur_after_uns,
+                                              state.current_cone_index)
+    in_frame_tgt = target_f[frame_of, jnp.maximum(pi_cl.reshape(BN), 0)]
+    cur_before = jnp.where(pm_cl.reshape(BN) < 100.0, in_frame_tgt,
+                           cur_start_uns[frame_of])
+    dfirst2 = jnp.sum((target_xy - g.lm_xy[0]) ** 2, axis=-1)
+    closure0 = (matched_pf & (dfirst2 < cfg.loop_closure_radius ** 2)
+                & (cur_before > cfg.loop_closure_min_index)
+                & (d2car_k < cfg.cone_mapping_threshold))
+    closure_any = jnp.any(closure0)
+    kc_obs = jnp.argmax(closure0).astype(jnp.int32)          # first closure obs
+    kc_frame = jnp.where(closure_any, frame_of[kc_obs], jnp.int32(B))
+    closed_before = closure_any & (jnp.arange(BN) > kc_obs)
+
+    # ---- suppression (run_sequence's closed_before) + tail cut: frames
+    # after the closure frame belong to scan-2, so nothing of theirs commits
+    matched = matched_pf & ~closed_before
+    is_new_s = is_new & ~closed_before
+    dup_same_s = dup_same & ~closed_before
+
+    # ---- pose writes, cut at the closure frame (scan-2 re-inserts the
+    # tail against the post-GN estimates, exactly like the per-frame path)
+    ins = okp & (fidx <= kc_frame)
+    g = _scatter_poses(g, poses, odo_f, pose_idx_f, ins)
+
+    # ---- landmark writes (disjoint slots, OOB dropped)
+    scatter_to = jnp.where(is_new_s & slot_ok, slot, cap_l)
+    n_new_per_frame = jnp.sum(is_new_s.reshape(B, N), axis=1)
+    n_lm_after = jnp.minimum(g.n_landmarks + jnp.cumsum(n_new_per_frame),
+                             cap_l)
+    n_new_total = jnp.sum(is_new_s)
+    g = dataclasses.replace(
+        g,
+        lm_xy=g.lm_xy.at[scatter_to].set(glob_k, mode="drop"),
+        lm_type=g.lm_type.at[scatter_to].set(otype_k, mode="drop"),
+        n_landmarks=jnp.minimum(g.n_landmarks + n_new_total, cap_l),
+    )
+
+    # ---- contiguous edge append in global observation order
+    keep = matched | ((is_new_s | dup_same_s) & slot_ok)
+    keep_i = keep.astype(jnp.int32)
+    n_keep = jnp.sum(keep_i)
+    rank_keep = jnp.cumsum(keep_i) - keep_i
+    rank_drop = jnp.cumsum(1 - keep_i) - (1 - keep_i)
+    pos = jnp.where(keep, rank_keep, n_keep + rank_drop)
+    perm = jnp.zeros((BN,), jnp.int32).at[pos].set(
+        jnp.arange(BN, dtype=jnp.int32))
+    base = jnp.minimum(g.n_obs, cap_e - BN)
+    pose_idx_k = pose_idx_f[frame_of]
+    g = dataclasses.replace(
+        g,
+        obs_pose=jax.lax.dynamic_update_slice(g.obs_pose, pose_idx_k[perm],
+                                              (base,)),
+        obs_lm=jax.lax.dynamic_update_slice(g.obs_lm, target[perm], (base,)),
+        obs_xy=jax.lax.dynamic_update_slice(g.obs_xy, body_k[perm], (base, 0)),
+        n_obs=jnp.minimum(g.n_obs + n_keep, cap_e),
+    )
+
+    # ---- committed currentConeIndex series
+    cur_cand = matched | (dup_same_s & slot_ok)
+    vals_cur = jnp.where(cur_cand, d2car_k, jnp.inf).reshape(B, N)
+    fsel = target_f[jnp.arange(B), jnp.argmin(vals_cur, axis=1)]
+    cur_after = _last_valid_inclusive(state.current_cone_index,
+                                      jnp.min(vals_cur, axis=1) < 100.0, fsel)
+
+    az, dist, ctype = _packet_series(g.lm_xy, g.lm_type, n_lm_after,
+                                     cur_after, poses, cfg)
+    outputs = KeyframeOutputs(
+        pose=poses, cone_azimuth=az, cone_distance=dist, cone_type=ctype,
+        send=jnp.zeros((B,), bool),
+        loop_closed=closure_any & (fidx == kc_frame),
+        n_landmarks=n_lm_after.astype(jnp.int32),
+    )
+    new_state = dataclasses.replace(
+        state, graph=g,
+        current_cone_index=cur_after[-1],
+        loop_closing=state.loop_closing | closure_any,
+        loop_closure_complete=state.loop_closure_complete | closure_any,
+        keyframe_count=state.keyframe_count + jnp.sum(ins.astype(jnp.int32)),
+    )
+
+    any_act = jnp.any(okp)
+    fallback = (((n_lm0 == 0) & ~boot & jnp.any(valid_k))
+                | ((n_poses0 + B > cap_p) & any_act)
+                | ((n_obs0 + 1 + BN > cap_e) & any_act)
+                | (n_lm0 + boot.astype(jnp.int32) + n_new_total > cap_l))
+    aux = dict(closure_any=closure_any, kc_frame=kc_frame, fallback=fallback,
+               cur_series=cur_after, n_lm_series=n_lm_after)
+    return new_state, outputs, aux
+
+
+def _loc_block(state: SlamState, obs, valid, poses, okp, cfg: SlamConfig):
+    """Straight-line localization-mode block against the frozen map
+    (reference src/slam.cpp:340-414). An all-False okp is an exact no-op.
+    Returns (new_state, outputs [B], fallback_flag)."""
+    g0 = state.graph
+    B, N = valid.shape
+    BN = B * N
+    cap_l = g0.lm_xy.shape[0]
+
+    pose_idx_f, _, odo_f = _pose_insert_plan(g0, poses, okp)
+    g = _scatter_poses(g0, poses, odo_f, pose_idx_f, okp)
+
+    n_valid_f = jnp.sum(valid & okp[:, None], axis=1)
+    ran = okp & (n_valid_f > 1)                  # src/slam.cpp:332
+
+    glob_k = jax.vmap(lambda p, ob: cone_to_global(
+        p, ob[..., 0], ob[..., 1], ob[..., 2], cfg.lidar_to_cog,
+        cfg.reference_compat))(poses, obs).reshape(BN, 2)
+    body_k = _body_xy(obs, cfg).reshape(BN, 2)
+    obs_k = obs.reshape(BN, 4)
+    vloc_k = (valid & ran[:, None]).reshape(BN)
+
+    diff = glob_k[:, None, :] - g.lm_xy[None, :, :]
+    cost = jnp.sum(diff * diff, axis=-1)
+    lm_valid = jnp.arange(cap_l) < g.n_landmarks
+    if cfg.reference_compat and cfg.localizer_type_bug:
+        type_ok = (g.lm_type[None, :].astype(jnp.float32)
+                   - obs_k[:, 3][:, None]) < 1e-4     # src/slam.cpp:360
+    else:
+        type_ok = g.lm_type[None, :] == obs_k[:, 3].astype(jnp.int32)[:, None]
+    okm = (type_ok & lm_valid[None, :] & vloc_k[:, None]
+           & (cost < cfg.same_cone_threshold ** 2))
+    j = jnp.argmax(okm, axis=1).astype(jnp.int32)    # first match per obs
+    matched = jnp.any(okm, axis=1)
+
+    d2 = jnp.where(matched, obs_k[:, 2], 1e30).reshape(B, N)
+    best = jnp.argmin(d2, axis=1)
+    any_m = jnp.any(matched.reshape(B, N), axis=1)
+    j_best = j.reshape(B, N)[jnp.arange(B), best]
+
+    cur_after = _last_valid_inclusive(state.current_cone_index, ran & any_m,
+                                      j_best)
+    cur_start = _exclusive_from_inclusive(cur_after,
+                                          state.current_cone_index)
+    # state.send_cone_data is the reference's "currentConeIndex changed"
+    # flag (src/slam.cpp:385); the per-frame `send` OUTPUT is "a
+    # localization update ran, publish pose+cones"
+    cur_changed = ran & (cur_after != cur_start)
+    send_state = _last_valid_inclusive(state.send_cone_data, ran,
+                                       cur_changed)[-1]
+
+    if cfg.localizer_refine:
+        # lax.map (not vmap): a batched 3x3 solve lowers differently from
+        # the per-frame one, which would break bit-exactness vs run_sequence
+        g_ref = g
+        out_pose = jax.lax.map(
+            lambda a: _pose_refine(a[0], g_ref, a[1], a[2], a[3]),
+            (poses, j.reshape(B, N), matched.reshape(B, N),
+             body_k.reshape(B, N, 2)))
+        out_pose = jnp.where(ran[:, None], out_pose, poses)
+    else:
+        out_pose = poses
+
+    new_state = dataclasses.replace(
+        state, graph=g, current_cone_index=cur_after[-1],
+        send_cone_data=send_state,
+        keyframe_count=state.keyframe_count + jnp.sum(okp.astype(jnp.int32)),
+    )
+    n_lm = jnp.broadcast_to(g.n_landmarks, (B,))
+    az, dist, ctype = _packet_series(g.lm_xy, g.lm_type, n_lm, cur_after,
+                                     out_pose, cfg)
+    outputs = KeyframeOutputs(
+        pose=out_pose, cone_azimuth=az, cone_distance=dist, cone_type=ctype,
+        send=ran, loop_closed=jnp.zeros((B,), bool),
+        n_landmarks=n_lm.astype(jnp.int32),
+    )
+    fallback = (g0.n_poses + B > g0.poses.shape[0]) & jnp.any(okp)
+    return new_state, outputs, fallback
+
+
+def _select_state(pred, a: SlamState, b: SlamState) -> SlamState:
+    """Elementwise state select (NOT lax.cond — see module docstring)."""
+    return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
+
+
+@partial(jax.jit, static_argnames=("cfg", "block"), donate_argnames="state")
+def blocked_core(state: SlamState, obs_seq, valid_seq, pose_seq,
+                 cfg: SlamConfig, block: int = 8):
+    """The compiled heart of the blocked pipeline (GN-free scans + one
+    top-level GN). Inputs must already be padded to a multiple of `block`.
+
+    Returns (state, outputs [Tp], done_upto): frames >= done_upto were NOT
+    processed (a bootstrap/capacity fallback fired) and must be finished by
+    the per-frame path — `run_sequence_blocked` does this on the host.
+    done_upto == Tp means the pass is complete (the normal case).
+    """
+    B = block
+    Tp = obs_seq.shape[0]
+    nb = Tp // B
+    obs_b = obs_seq.reshape(nb, B, *obs_seq.shape[1:])
+    valid_b = valid_seq.reshape(nb, B, *valid_seq.shape[1:])
+    pose_b = pose_seq.reshape(nb, B, 3)
+    closed0 = state.loop_closure_complete
+    fidx = jnp.arange(B, dtype=jnp.int32)
+
+    # ---- scan-1: mapping blocks, stop at closure or fallback
+    def body1(carry, blk):
+        st, stopped = carry
+        o, v, p = blk
+        active = ~stopped & ~st.loop_closure_complete
+        okp = ((jnp.abs(p[:, 0]) <= cfg.gps_outlier_bound)
+               & (jnp.abs(p[:, 1]) <= cfg.gps_outlier_bound) & active)
+        ns, outs, aux = _mapping_block(st, o, v, p, okp, cfg)
+        fb = aux["fallback"] & active
+        st2 = _select_state(fb, st, ns)
+        committed = active & ~fb
+        # frames after the closure frame belong to scan-2
+        m1 = committed & (~aux["closure_any"] | (fidx <= aux["kc_frame"]))
+        ys = (outs, m1, fb & active, aux["closure_any"] & committed,
+              aux["kc_frame"], aux["cur_series"], aux["n_lm_series"])
+        return (st2, stopped | fb | (aux["closure_any"] & committed)), ys
+
+    (state, _), (outs1, m1, fb1, cls1, kcf1, cur1, nlm1) = jax.lax.scan(
+        body1, (state, closed0), (obs_b, valid_b, pose_b))
+
+    closure_found = jnp.any(cls1)
+    i_c = jnp.argmax(cls1).astype(jnp.int32)
+    kc_global = jnp.where(
+        closure_found, i_c * B + kcf1[i_c],
+        jnp.where(closed0, jnp.int32(-1), jnp.int32(Tp)))
+
+    # ---- top-level one-shot closure GN (zero-trip when no closure):
+    # scan-1 committed nothing past the closure frame, so the graph counts
+    # are exactly what run_sequence's in-frame GN saw — no pinning needed.
+    g = gn.optimize(state.graph, _gn_config(cfg), enable=closure_found)
+    state = dataclasses.replace(state, graph=g)
+
+    # patch the closure frame's cone packet to the post-GN map
+    # (run_sequence computes it after its in-frame GN)
+    t_kc = jnp.clip(kc_global, 0, Tp - 1)
+    cur_kc = cur1[i_c, jnp.clip(kcf1[i_c], 0, B - 1)]
+    nlm_kc = nlm1[i_c, jnp.clip(kcf1[i_c], 0, B - 1)]
+    azk, dk, tk = _packet_series(g.lm_xy, g.lm_type, nlm_kc[None],
+                                 cur_kc[None], pose_seq[t_kc][None], cfg)
+    outs1 = jax.tree.map(lambda x: x.reshape((Tp,) + x.shape[2:]), outs1)
+    pk = closure_found
+    outs1 = dataclasses.replace(
+        outs1,
+        cone_azimuth=outs1.cone_azimuth.at[t_kc].set(
+            jnp.where(pk, azk[0], outs1.cone_azimuth[t_kc])),
+        cone_distance=outs1.cone_distance.at[t_kc].set(
+            jnp.where(pk, dk[0], outs1.cone_distance[t_kc])),
+        cone_type=outs1.cone_type.at[t_kc].set(
+            jnp.where(pk, tk[0], outs1.cone_type[t_kc])),
+    )
+
+    # ---- scan-2: localization blocks for every frame after the closure
+    def body2(carry, xs):
+        st, stopped = carry
+        ib, (o, v, p) = xs
+        frames = ib * B + fidx
+        active = ~stopped & st.loop_closure_complete
+        okp = ((jnp.abs(p[:, 0]) <= cfg.gps_outlier_bound)
+               & (jnp.abs(p[:, 1]) <= cfg.gps_outlier_bound)
+               & (frames > kc_global) & active)
+        ns, outs, fb = _loc_block(st, o, v, p, okp, cfg)
+        st2 = _select_state(fb, st, ns)
+        m2 = active & ~fb & (frames > kc_global)
+        return (st2, stopped | fb), (outs, m2, fb)
+
+    (state, _), (outs2, m2, fb2) = jax.lax.scan(
+        body2, (state, jnp.asarray(False)),
+        (jnp.arange(nb, dtype=jnp.int32), (obs_b, valid_b, pose_b)))
+
+    # ---- merge + completion boundary
+    m1f = m1.reshape(Tp)
+    m2f = m2.reshape(Tp)
+    outs2 = jax.tree.map(lambda x: x.reshape((Tp,) + x.shape[2:]), outs2)
+    outs = jax.tree.map(
+        lambda a, b: jnp.where(m2f.reshape((Tp,) + (1,) * (a.ndim - 1)), a, b),
+        outs2, outs1)
+    fb1_start = jnp.where(jnp.any(fb1),
+                          jnp.argmax(fb1).astype(jnp.int32) * B, jnp.int32(Tp))
+    fb2_start = jnp.where(jnp.any(fb2),
+                          jnp.argmax(fb2).astype(jnp.int32) * B, jnp.int32(Tp))
+    done_upto = jnp.minimum(fb1_start, fb2_start)
+    return state, outs, done_upto
+
+
+@partial(jax.jit, static_argnames="cfg")
+def _per_frame_completion(state: SlamState, obs_seq, valid_seq, pose_seq,
+                          cfg: SlamConfig, start_frame):
+    """Exact per-frame scan, no-op before `start_frame` (masked frames get
+    a pose failing the GPS outlier guard). Separate dispatch from
+    `blocked_core` so its GN-bearing scan never taxes the hot program."""
+    T = obs_seq.shape[0]
+    mask = jnp.arange(T) >= start_frame
+    far = jnp.full((3,), 2.0 * cfg.gps_outlier_bound + 1.0, pose_seq.dtype)
+    p_eff = jnp.where(mask[:, None], pose_seq, far[None, :])
+
+    def step(st, frame):
+        o, v, p = frame
+        return perform_keyframe.__wrapped__(st, o, v, p, cfg)
+
+    return jax.lax.scan(step, state, (obs_seq, valid_seq, p_eff))
+
+
+def _pad_inputs(obs_seq, valid_seq, pose_seq, cfg, B):
+    T = obs_seq.shape[0]
+    pad = (-T) % B
+    if pad:
+        far = jnp.full((pad, 3), 2.0 * cfg.gps_outlier_bound + 1.0,
+                       pose_seq.dtype)
+        obs_seq = jnp.concatenate(
+            [obs_seq, jnp.zeros((pad,) + obs_seq.shape[1:], obs_seq.dtype)])
+        valid_seq = jnp.concatenate(
+            [valid_seq, jnp.zeros((pad,) + valid_seq.shape[1:], bool)])
+        pose_seq = jnp.concatenate([pose_seq, far])
+    return obs_seq, valid_seq, pose_seq, T
+
+
+def run_sequence_blocked(state: SlamState, obs_seq, valid_seq, pose_seq,
+                         cfg: SlamConfig, block: int = 8):
+    """Process T keyframes via the blocked pipeline.
+
+    Same signature and results as `run_sequence` (bit-exact on supported
+    configs — see `blocked_supported`). A host-side wrapper, not a jit: it
+    dispatches `blocked_core` and, only when the core reports an unhandled
+    bootstrap/capacity fallback (never on a healthy lap), finishes the
+    remaining frames with the per-frame scan in a second dispatch.
+    """
+    if not blocked_supported(cfg):
+        raise ValueError(
+            "run_sequence_blocked: unsupported config (needs association in "
+            "('first','nearest'), no pallas association, vectorized mapping, "
+            "no periodic GN, no GPS prior) — use run_sequence")
+    obs_seq, valid_seq, pose_seq, T = _pad_inputs(obs_seq, valid_seq,
+                                                  pose_seq, cfg, block)
+    # edge capacity below one block's rows: the mapping body cannot trace
+    # its block-wide edge append; the per-frame scan is the whole program
+    if cfg.capacity.max_obs < block * obs_seq.shape[1] + 1:
+        state, outs = _per_frame_completion(state, obs_seq, valid_seq,
+                                            pose_seq, cfg, jnp.int32(0))
+        return state, jax.tree.map(lambda x: x[:T], outs)
+
+    state, outs, done_upto = blocked_core(state, obs_seq, valid_seq,
+                                          pose_seq, cfg, block)
+    Tp = obs_seq.shape[0]
+    if int(done_upto) < Tp:
+        state, outs_net = _per_frame_completion(state, obs_seq, valid_seq,
+                                                pose_seq, cfg, done_upto)
+        fmask = jnp.arange(Tp) >= done_upto
+        outs = jax.tree.map(
+            lambda a, b: jnp.where(
+                fmask.reshape((Tp,) + (1,) * (a.ndim - 1)), a, b),
+            outs_net, outs)
+    return state, jax.tree.map(lambda x: x[:T], outs)
+
+
+def run_pass_blocked(obs_seq, valid_seq, pose_seq, cfg: SlamConfig,
+                     block: int = 8):
+    """One whole session from a fresh state via the blocked pipeline."""
+    from tpuslam.frontend.state import initial_state
+    return run_sequence_blocked(initial_state(cfg.capacity), obs_seq,
+                                valid_seq, pose_seq, cfg, block)

@@ -315,8 +315,9 @@ def _mapping_step_vectorized(state: SlamState, obs, obs_valid, pose, pose_idx,
 
     do_opt = closing & ~state.loop_closure_complete
     if not defer_gn:
-        g = jax.lax.cond(do_opt, lambda gg: gn.optimize(gg, _gn_config(cfg)),
-                         lambda gg: gg, g)
+        # enable-gated (zero-trip) rather than lax.cond: a conditional
+        # carrying the graph forces per-iteration copies inside scans
+        g = gn.optimize(g, _gn_config(cfg), enable=do_opt)
 
     # accumulate per-landmark measurement information (Mahalanobis policy):
     # matched/duplicate observations add their R^-1 to the landmark's row;
@@ -400,12 +401,8 @@ def _mapping_step(state: SlamState, obs, obs_valid, pose, pose_idx,
     # (reference src/slam.cpp:625-633; it redundantly re-optimizes once per
     # remaining observation — converged after the first, so we run it once).
     do_opt = closing & ~state.loop_closure_complete
-
-    def run_opt(gg):
-        return gn.optimize(gg, _gn_config(cfg))
-
     if not defer_gn:
-        g = jax.lax.cond(do_opt, run_opt, lambda gg: gg, g)
+        g = gn.optimize(g, _gn_config(cfg), enable=do_opt)
     return dataclasses.replace(
         state, graph=g, current_cone_index=cur, loop_closing=closing,
         loop_closure_complete=state.loop_closure_complete | closing,
@@ -559,9 +556,7 @@ def perform_keyframe(state: SlamState, obs, obs_valid, pose, cfg: SlamConfig,
             else:
                 periodic_cfg = dataclasses.replace(
                     _gn_config(cfg), iterations=cfg.periodic_gn_iterations)
-                new_g = jax.lax.cond(
-                    do, lambda gg: gn.optimize(gg, periodic_cfg),
-                    lambda gg: gg, state.graph)
+                new_g = gn.optimize(state.graph, periodic_cfg, enable=do)
                 state = dataclasses.replace(state, graph=new_g)
         if cfg.use_gps_prior:
             # mapping mode: publish the graph's latest pose (refreshed by the
