@@ -52,8 +52,11 @@ def main():
     # (drawPoses returns m_poses, and the localization-mode publish is the
     # last vertex's odometry estimate since its optimize is disabled,
     # reference src/slam.cpp:403-421) — so parity compares like with like.
+    # ATE measured on the production (blocked) pipeline's outputs — bit-exact
+    # vs the per-frame run_sequence (tests/test_blocked_equivalence.py)
+    from tpuslam.frontend.blocked import run_sequence_blocked
     state = initial_state(cap)
-    state, outs = run_sequence(state, obs, valid, poses, cfg)
+    state, outs = run_sequence_blocked(state, obs, valid, poses, cfg, block=16)
     jax.block_until_ready(state.graph.poses)
     closed = bool(state.loop_closure_complete)
     est = np.asarray(outs.pose)
@@ -75,45 +78,86 @@ def main():
     map_err_improved = float(np.median(np.linalg.norm(
         lm2[:, None, :] - track.cones_xy[None], axis=-1).min(axis=1)))
 
-    # timed passes: each pass is ONE dispatch (state built inside the jit),
-    # all passes submitted back-to-back, then synced — the tunnel round trip
-    # is paid once, not per pass. Sync via real host transfers per pass — on
-    # the axon backend block_until_ready alone does not reliably force remote
-    # execution, and pulling every pass's scalar proves every pass ran.
-    from tpuslam.frontend.pipeline import run_pass
-    st, _ = run_pass(obs, valid, poses, cfg)  # warm/compile
-    _ = int(st.graph.n_poses)
-    n_pass = 5
-    t0 = time.perf_counter()
-    results = [run_pass(obs, valid, poses, cfg) for _ in range(n_pass)]
-    for st_i, _ in results:
-        _ = int(st_i.graph.n_poses)  # hard sync, pipelined
-    dt = time.perf_counter() - t0
-    fps_tpu = n_pass * t_frames / dt
+    # timed passes: the blocked pipeline (frontend/blocked.py), K whole
+    # passes per dispatch. On the remote-tunneled chip a dispatch costs a
+    # fixed ~25 ms round trip regardless of content, so per-pass DEVICE time
+    # comes from the slope between two dispatch sizes — the tunnel constant
+    # cancels exactly. block_until_ready alone does not reliably force
+    # remote execution here, so sync by pulling a scalar.
+    from tpuslam.frontend import blocked as BL
+    from tpuslam.frontend.state import initial_state as init_state
 
-    # batched multi-session throughput on the same chip: vmap over S
-    # independent sessions amortizes the per-op dispatch of this tiny-state
-    # workload — the single-chip half of "multi-session pod-scale mapping"
-    from tpuslam.parallel.batch import run_passes_batched
-    n_sess = 16  # measured knee: per-session cost flattens past 16 (the
-                 # per-closure GNs start to dominate)
+    obs_p, valid_p, pose_p, _ = BL._pad_inputs(obs, valid, poses, cfg, 16)
+
+    def multi_pass(k):
+        @jax.jit
+        def run():
+            def one(_, __):
+                st = init_state(cap)
+                st, _outs, done = BL.blocked_core.__wrapped__(
+                    st, obs_p, valid_p, pose_p, cfg, 16)
+                return (), st.graph.n_poses + done
+            _, ys = jax.lax.scan(one, (), None, length=k)
+            return ys
+        return run
+
+    def timed_slope(make_fn, k1, k2, reps=3):
+        f1, f2 = make_fn(k1), make_fn(k2)
+        _ = int(f1()[0]); _ = int(f2()[0])      # warm/compile
+        t1 = t2 = 1e9
+        for _ in range(reps):
+            t0 = time.perf_counter(); _ = int(f1()[0])
+            t1 = min(t1, time.perf_counter() - t0)
+            t0 = time.perf_counter(); _ = int(f2()[0])
+            t2 = min(t2, time.perf_counter() - t0)
+        return (t2 - t1) / (k2 - k1)
+
+    sec_per_pass = timed_slope(multi_pass, 2, 8)
+    fps_tpu = t_frames / sec_per_pass
+
+    # batched multi-session throughput on the same chip: the blocked core
+    # vmapped over S independent sessions — the single-chip half of
+    # "multi-session pod-scale mapping". Pose capacity sized to the lap
+    # (384 >= t_frames) so the batched full-capacity Schur/Cholesky tracks
+    # the real problem, not padding.
+    from tpuslam.parallel.batch import initial_states
+    n_sess = 16
     scens_b = [simulate(trackdrive(seed=11), SimConfig(
         laps=1.4, keyframe_dt=0.1, speed=8.0, max_range=20.0, seed=20 + s))
         for s in range(n_sess)]
     t_b = min(t_frames, *(len(sc.times) for sc in scens_b))
+    cap_b = GraphCapacity(max_poses=max(384, t_b), max_landmarks=256,
+                          max_obs=4096)
+    cfg_b = SlamConfig(capacity=cap_b)
     obs_b = jnp.stack([jnp.asarray(sc.obs[:t_b], jnp.float32) for sc in scens_b])
     valid_b = jnp.stack([jnp.asarray(sc.obs_valid[:t_b]) for sc in scens_b])
     poses_b = jnp.stack([jnp.asarray(sc.odom_poses[:t_b], jnp.float32)
                          for sc in scens_b])
-    sts, _ = run_passes_batched(obs_b, valid_b, poses_b, cfg)  # warm/compile
-    _ = int(sts.graph.n_poses[0])
-    n_pass_b = 3
-    t0 = time.perf_counter()
-    results_b = [run_passes_batched(obs_b, valid_b, poses_b, cfg)
-                 for _ in range(n_pass_b)]
-    for sts_i, _ in results_b:
-        _ = int(sts_i.graph.n_poses[0])  # hard sync, pipelined
-    fps_batched = n_pass_b * n_sess * t_b / (time.perf_counter() - t0)
+    pad_b = (-t_b) % 16
+    if pad_b:
+        far = jnp.full((n_sess, pad_b, 3), 2.0 * cfg_b.gps_outlier_bound + 1.0,
+                       jnp.float32)
+        obs_b = jnp.concatenate(
+            [obs_b, jnp.zeros((n_sess, pad_b) + obs_b.shape[2:],
+                              obs_b.dtype)], 1)
+        valid_b = jnp.concatenate(
+            [valid_b, jnp.zeros((n_sess, pad_b) + valid_b.shape[2:], bool)], 1)
+        poses_b = jnp.concatenate([poses_b, far], 1)
+
+    def multi_batched(k):
+        @jax.jit
+        def run():
+            def one(_, __):
+                sts = initial_states(cap_b, n_sess)
+                sts, _o, done = BL.blocked_core_batched.__wrapped__(
+                    sts, obs_b, valid_b, poses_b, cfg_b, 16)
+                return (), sts.graph.n_poses[0] + jnp.min(done)
+            _, ys = jax.lax.scan(one, (), None, length=k)
+            return ys
+        return run
+
+    sec_per_bpass = timed_slope(multi_batched, 1, 3)
+    fps_batched = n_sess * t_b / sec_per_bpass
 
     # ATE parity on the other BASELINE configs (skidpad / acceleration):
     # published trajectory must match the reference-semantics CPU golden

@@ -130,3 +130,51 @@ def test_blocked_edge_capacity_saturation_falls_back():
                                   cfg, block=8)
     _assert_tree_equal(o1, o2, "outputs[saturated]")
     _assert_state_equal(s1, s2, "state[saturated]")
+
+
+def test_blocked_batched_matches_per_session():
+    """vmapped blocked core == per-session run_sequence (same lap data,
+    different seeds/closure frames per session)."""
+    from tpuslam.frontend.blocked import run_sequences_blocked_batched
+    from tpuslam.parallel.batch import initial_states
+
+    sessions = []
+    for seed in (11, 21, 31):
+        sessions.append(_scenario(trackdrive, seed=seed))
+    T = min(o.shape[0] for o, _, _, _ in sessions)
+    cap = sessions[0][3]
+    cfg = SlamConfig(capacity=cap)
+    obs_b = jnp.stack([o[:T] for o, _, _, _ in sessions])
+    valid_b = jnp.stack([v[:T] for _, v, _, _ in sessions])
+    pose_b = jnp.stack([p[:T] for _, _, p, _ in sessions])
+
+    sb, ob = run_sequences_blocked_batched(
+        initial_states(cap, len(sessions)), obs_b, valid_b, pose_b, cfg,
+        block=8)
+    for s in range(len(sessions)):
+        s1, o1 = run_sequence(initial_state(cap), obs_b[s], valid_b[s],
+                              pose_b[s], cfg)
+        assert bool(s1.loop_closure_complete), f"session {s} must close"
+        o2 = jax.tree.map(lambda x: x[s], ob)
+        s2 = jax.tree.map(lambda x: x[s], sb)
+        # batched matmul/cholesky kernels accumulate in a different order
+        # than their single-graph forms, so the one GN solve (and packets
+        # derived from the optimized map) carry ~1e-4 float noise; every
+        # decision (association, closure, counts, indices) must be exact.
+        for a, b in zip(jax.tree.leaves(o1), jax.tree.leaves(o2)):
+            a, b = np.asarray(a), np.asarray(b)
+            if a.dtype.kind in "fc":
+                np.testing.assert_allclose(a, b, atol=2e-3, rtol=0,
+                                           err_msg=f"outputs[s={s}]")
+            else:
+                np.testing.assert_array_equal(a, b, err_msg=f"outputs[s={s}]")
+        assert int(s1.graph.n_obs) == int(s2.graph.n_obs)
+        assert int(s1.graph.n_landmarks) == int(s2.graph.n_landmarks)
+        assert int(s1.current_cone_index) == int(s2.current_cone_index)
+        n = int(s1.graph.n_obs)
+        np.testing.assert_array_equal(np.asarray(s1.graph.obs_lm)[:n],
+                                      np.asarray(s2.graph.obs_lm)[:n])
+        np.testing.assert_allclose(np.asarray(s1.graph.poses),
+                                   np.asarray(s2.graph.poses), atol=2e-3)
+        np.testing.assert_allclose(np.asarray(s1.graph.lm_xy),
+                                   np.asarray(s2.graph.lm_xy), atol=2e-3)

@@ -34,7 +34,8 @@ from tpuslam.backend.graph import FactorGraph
 from tpuslam.backend.residuals import landmark_residuals, odometry_residuals
 from tpuslam.geometry import se2
 
-__all__ = ["GNConfig", "assemble", "schur_solve", "gn_step", "optimize", "chi2"]
+__all__ = ["GNConfig", "assemble", "schur_solve", "schur_solve_split",
+           "gn_step", "optimize", "chi2"]
 
 
 @dataclass(frozen=True)
@@ -163,6 +164,23 @@ def landmark_edge_blocks(poses, lm_xy, obs_pose, obs_lm, obs_xy, w_l, n_landmark
     loops that cost milliseconds at this scale, while the equivalent
     [P,E]@[E,k] contractions ride the MXU in tens of microseconds.
     """
+    h_diag_lm, w0, w1, hll, gp_lm, gl = _landmark_edge_blocks_split(
+        poses, lm_xy, obs_pose, obs_lm, obs_xy, w_l, n_landmarks)
+    return h_diag_lm, _interleave_w(w0, w1), hll, gp_lm, gl
+
+
+def _interleave_w(w0, w1):
+    """(W0, W1) [3P,L] halves -> interleaved W [3P,2L] (public layout)."""
+    three_p, L = w0.shape
+    return jnp.stack([w0, w1], axis=-1).reshape(three_p, 2 * L)
+
+
+def _landmark_edge_blocks_split(poses, lm_xy, obs_pose, obs_lm, obs_xy, w_l,
+                                n_landmarks):
+    """`landmark_edge_blocks` with W returned as even/odd column halves
+    W0, W1 [3P, L] — the hot-path layout: interleaved [3P, 2L] forces
+    stride-2 lane slicing in the Schur product (measured ~10x slower
+    batched), while the halves keep every op full-lane."""
     P = poses.shape[0]
     L = n_landmarks
     E = obs_pose.shape[0]
@@ -179,45 +197,53 @@ def landmark_edge_blocks(poses, lm_xy, obs_pose, obs_lm, obs_xy, w_l, n_landmark
     gp_lm = onehot_p @ (w_l[:, None] * (jtp @ r_l[..., None])[..., 0])
 
     # W[3p+i, 2l+j] = sum_e 1[pe=p] 1[le=l] w_e (Jp^T Jl)[e,i,j] — a double
-    # one-hot contraction: 6 (i,j) pairs of [P,E]@[E,L] MXU matmuls
+    # one-hot contraction: 3 (i,) rows x 2 j-halves of [P,E]@[E,L] matmuls
     w_e = wl3 * (jtp @ j_ll)                                # [E, 3, 2]
-    w_mat = jnp.einsum("pe,eij,le->pilj", onehot_p, w_e,
-                       onehot_l).reshape(3 * P, 2 * L)
+    w0 = jnp.einsum("pe,ei,le->pil", onehot_p, w_e[..., 0],
+                    onehot_l).reshape(3 * P, L)
+    w1 = jnp.einsum("pe,ei,le->pil", onehot_p, w_e[..., 1],
+                    onehot_l).reshape(3 * P, L)
 
     jtl = jnp.swapaxes(j_ll, -1, -2)
     hll_e = (wl3 * (jtl @ j_ll)).reshape(E, 4)
     hll = (onehot_l @ hll_e).reshape(L, 2, 2)
     gl = onehot_l @ (w_l[:, None] * (jtl @ r_l[..., None])[..., 0])
-    return h_diag_lm, w_mat, hll, gp_lm, gl
+    return h_diag_lm, w0, w1, hll, gp_lm, gl
 
 
 def densify_hpp(h_diag, h_off):
     """(P,3,3) diagonal + (P,3,3) super-diagonal blocks -> dense [3P,3P].
 
-    Built with broadcast multiplies against (shifted-)identity masks — a
-    fused elementwise write of the 3Px3P buffer. The indexed-scatter form
-    XLA lowers to a sort-based loop costing ~0.5 ms per scatter at P=512;
-    this is one pass over the output.
+    Built with broadcast multiplies against (shifted-)block-identity masks,
+    entirely in [3P, 3P] 2-D layout — a fused elementwise pass over the
+    output. Two rejected forms, both measured 10-50x slower on TPU: indexed
+    scatters (XLA lowers them to sort-based loops) and [P,3,P,3]-shaped
+    broadcasts (a trailing dim of 3 wastes 125 of each 128-lane vector
+    register).
     """
     P = h_diag.shape[0]
-    k = jnp.arange(P)
-    eye = (k[:, None] == k[None, :]).astype(h_diag.dtype)        # [P,P]
-    up = (k[None, :] == k[:, None] + 1).astype(h_diag.dtype)     # q == p+1
-    # h4[p,i,q,j] = eye[p,q] h_diag[p,i,j]
-    #             + up[p,q]  h_off[q,i,j]      (block (q-1, q))
-    #             + up[q,p]  h_off[p,j,i]^T as (q, q-1)^T at (p, q)
-    h4 = (eye[:, None, :, None] * h_diag[:, :, None, :]
-          + up[:, None, :, None] * jnp.transpose(h_off, (1, 0, 2))[None]
-          + up.T[:, None, :, None]
-          * jnp.transpose(h_off, (0, 2, 1))[:, :, None, :])
-    return h4.reshape(3 * P, 3 * P)
+    tp = 3 * P
+    blk = jnp.arange(tp) // 3                                    # [3P]
+    same = (blk[:, None] == blk[None, :]).astype(h_diag.dtype)   # [3P,3P]
+    up = (blk[None, :] == blk[:, None] + 1).astype(h_diag.dtype)
+    # diag term: value at (r, c) is h_diag[r//3, r%3, c%3] -> lay rows out
+    # as [3P, 3] and broadcast across column blocks
+    d_rows = jnp.broadcast_to(h_diag.reshape(tp, 1, 3),
+                              (tp, P, 3)).reshape(tp, tp)
+    # off term at (r, c), c//3 == r//3 + 1: value h_off[c//3, r%3, c%3] ->
+    # lay columns out as [3, 3P] and broadcast across row blocks
+    o_cols = jnp.broadcast_to(
+        jnp.transpose(h_off, (1, 0, 2)).reshape(1, 3, tp),
+        (P, 3, tp)).reshape(tp, tp)
+    h2 = same * d_rows + up * o_cols
+    return h2 + up.T * o_cols.T
 
 
 def _assemble_blocked(g: FactorGraph, cfg: GNConfig):
     """`assemble` without the densification: returns the block-tridiagonal
-    pose pieces (h_diag [P,3,3], h_off [P,3,3]) plus (W [3P,2L],
-    Hll [L,2,2], gp [P,3], gl [L,2]). The bucketed solve densifies only the
-    active leading blocks."""
+    pose pieces (h_diag [P,3,3], h_off [P,3,3]) plus W as even/odd halves
+    (W0, W1 [3P,L]), Hll [L,2,2], gp [P,3], gl [L,2]. The bucketed solve
+    densifies only the active leading blocks."""
     cap = g.capacity
     h_diag, h_off, gp_o = assemble_odometry(g, cfg)
     w_l = (jnp.asarray(cfg.lm_info, g.poses.dtype)
@@ -234,18 +260,18 @@ def _assemble_blocked(g: FactorGraph, cfg: GNConfig):
 
         def make_branch(b):
             def branch(_):
-                return landmark_edge_blocks(
+                return _landmark_edge_blocks_split(
                     g.poses, g.lm_xy, g.obs_pose[:b], g.obs_lm[:b],
                     g.obs_xy[:b], w_l[:b], cap.max_landmarks)
             return branch
 
-        h_diag_lm, w_mat, hll, gp_lm, gl = jax.lax.switch(
+        h_diag_lm, w0, w1, hll, gp_lm, gl = jax.lax.switch(
             sel, [make_branch(b) for b in buckets], 0)
     else:
-        h_diag_lm, w_mat, hll, gp_lm, gl = landmark_edge_blocks(
+        h_diag_lm, w0, w1, hll, gp_lm, gl = _landmark_edge_blocks_split(
             g.poses, g.lm_xy, g.obs_pose, g.obs_lm, g.obs_xy, w_l,
             cap.max_landmarks)
-    return h_diag + h_diag_lm, h_off, w_mat, hll, gp_o + gp_lm, gl
+    return h_diag + h_diag_lm, h_off, w0, w1, hll, gp_o + gp_lm, gl
 
 
 def assemble(g: FactorGraph, cfg: GNConfig):
@@ -255,8 +281,9 @@ def assemble(g: FactorGraph, cfg: GNConfig):
     Pure function of the graph arrays; the landmark-edge part is a sum over
     edges, so edge-sharded partial results psum into the same totals.
     """
-    h_diag, h_off, w_mat, hll, gp, gl = _assemble_blocked(g, cfg)
-    return densify_hpp(h_diag, h_off), w_mat, hll, gp.reshape(-1), gl
+    h_diag, h_off, w0, w1, hll, gp, gl = _assemble_blocked(g, cfg)
+    return (densify_hpp(h_diag, h_off), _interleave_w(w0, w1), hll,
+            gp.reshape(-1), gl)
 
 
 def _inv2x2(m):
@@ -294,7 +321,8 @@ def _apply_gauge(g: FactorGraph, cfg: GNConfig, hpp, w_mat, hll, gp, gl):
 
 
 def schur_solve(hpp, w_mat, hll, gp, gl, use_cholesky_kernel=False):
-    """Solve the gauged system via landmark Schur elimination.
+    """Solve the gauged system via landmark Schur elimination (public,
+    interleaved-W form; the hot path uses `schur_solve_split` directly).
 
     [Hpp  W ] [dp]   [-gp]      S dp = -gp + W Hll^-1 gl,
     [W^T Hll] [dl] = [-gl]  =>  dl   = -Hll^-1 (gl + W^T dp),
@@ -303,22 +331,36 @@ def schur_solve(hpp, w_mat, hll, gp, gl, use_cholesky_kernel=False):
     NOTE: runs under highest matmul precision — TPU default bf16 passes wreck
     the normal equations' conditioning and NaN the Cholesky.
     """
-    three_p = hpp.shape[0]
-    l = hll.shape[0]
-    hll_inv = _inv2x2(hll)
-    w3 = w_mat.reshape(three_p, l, 2)
-    wa = jnp.einsum("plk,lkm->plm", w3, hll_inv)            # W Hll^-1
-    wa_flat = wa.reshape(three_p, 2 * l)
-    s = hpp - wa_flat @ w_mat.T
-    rhs = -gp + wa_flat @ gl.reshape(-1)
+    return schur_solve_split(hpp, w_mat[:, 0::2], w_mat[:, 1::2], hll, gp,
+                             gl, use_cholesky_kernel=use_cholesky_kernel)
+
+
+def schur_solve_split(hpp, w0, w1, hll, gp, gl, use_cholesky_kernel=False):
+    """`schur_solve` on even/odd W column halves W0/W1 [3P, L].
+
+    Arrays whose trailing dim is 2 (e.g. [3P, L, 2] einsum operands) waste
+    63/64 of each TPU vector register — and slicing them back out of the
+    interleaved [3P, 2L] layout is a stride-2 lane gather, measured ~10x
+    slower batched. The halves keep every op in full-lane [3P, L] layout
+    and the Schur product as two MXU matmuls.
+    """
+    hll_inv = _inv2x2(hll)                                   # [L, 2, 2]
+    ia, ib, ic = hll_inv[:, 0, 0], hll_inv[:, 0, 1], hll_inv[:, 1, 1]
+    wa0 = w0 * ia[None, :] + w1 * ib[None, :]                # W Hll^-1 cols
+    wa1 = w0 * ib[None, :] + w1 * ic[None, :]
+    s = hpp - (wa0 @ w0.T + wa1 @ w1.T)
+    gl0, gl1 = gl[:, 0], gl[:, 1]
+    rhs = -gp + (wa0 @ gl0 + wa1 @ gl1)
     if use_cholesky_kernel:
         from tpuslam.ops.cholesky import cholesky as chol_fn
         c = chol_fn(s)
     else:
         c = jnp.linalg.cholesky(s)
     dp = jax.scipy.linalg.cho_solve((c, True), rhs)
-    wtdp = jnp.einsum("plk,p->lk", w3, dp)
-    dl = -jnp.einsum("lkm,lm->lk", hll_inv, gl + wtdp)
+    wtdp0 = w0.T @ dp                                        # [L]
+    wtdp1 = w1.T @ dp
+    r0, r1 = gl0 + wtdp0, gl1 + wtdp1
+    dl = -jnp.stack([ia * r0 + ib * r1, ib * r0 + ic * r1], axis=-1)
     return dp, dl
 
 
@@ -330,7 +372,7 @@ def _pose_buckets(max_poses: int, step: int):
 
 
 def _apply_gauge_blocked(g: FactorGraph, cfg: GNConfig, h_diag, h_off,
-                         w_mat, hll, gp, gl):
+                         w0, w1, hll, gp, gl):
     """`_apply_gauge` on the block-tridiagonal form, before densification:
     fixed/padding poses get identity diagonal blocks and zeroed couplings —
     entrywise identical to gauging the dense matrix."""
@@ -350,8 +392,9 @@ def _apply_gauge_blocked(g: FactorGraph, cfg: GNConfig, h_diag, h_off,
     h_off = h_off * pair.astype(dtype)[:, None, None]
 
     fp = jnp.repeat(free_pose.astype(dtype), 3)   # [3P]
-    fl2 = jnp.repeat(free_lm.astype(dtype), 2)    # [2L]
-    w_mat = w_mat * fp[:, None] * fl2[None, :]
+    fl = free_lm.astype(dtype)                    # [L]
+    w0 = w0 * fp[:, None] * fl[None, :]
+    w1 = w1 * fp[:, None] * fl[None, :]
     eye2 = jnp.eye(2, dtype=dtype)
     flb = free_lm.astype(dtype)[:, None, None]
     hll = hll * flb + eye2 * (1.0 - flb)
@@ -360,10 +403,10 @@ def _apply_gauge_blocked(g: FactorGraph, cfg: GNConfig, h_diag, h_off,
     if cfg.damping:
         h_diag = h_diag + eye3 * jnp.asarray(cfg.damping, dtype) * fpb
         hll = hll + eye2 * jnp.asarray(cfg.damping, dtype) * flb
-    return h_diag, h_off, w_mat, hll, gp, gl
+    return h_diag, h_off, w0, w1, hll, gp, gl
 
 
-def _bucketed_schur_solve(n_poses, h_diag, h_off, w_mat, hll, gp, gl,
+def _bucketed_schur_solve(n_poses, h_diag, h_off, w0, w1, hll, gp, gl,
                           cfg: GNConfig):
     """Solve on the smallest pose bucket covering n_poses (lax.switch).
 
@@ -382,33 +425,33 @@ def _bucketed_schur_solve(n_poses, h_diag, h_off, w_mat, hll, gp, gl,
 
     def make_branch(b):
         def branch(ops):
-            h_diag, h_off, w_mat, hll, gp, gl = ops
+            h_diag, h_off, w0, w1, hll, gp, gl = ops
             hpp_b = densify_hpp(h_diag[:b], h_off[:b])
-            dp_b, dl = schur_solve(
-                hpp_b, w_mat[:3 * b], hll, gp[:b].reshape(-1), gl,
+            dp_b, dl = schur_solve_split(
+                hpp_b, w0[:3 * b], w1[:3 * b], hll, gp[:b].reshape(-1), gl,
                 use_cholesky_kernel=cfg.use_cholesky_kernel)
             dp = jnp.zeros((3 * p_cap,), dp_b.dtype).at[:3 * b].set(dp_b)
             return dp, dl
         return branch
 
     return jax.lax.switch(sel, [make_branch(b) for b in buckets],
-                          (h_diag, h_off, w_mat, hll, gp, gl))
+                          (h_diag, h_off, w0, w1, hll, gp, gl))
 
 
 @partial(jax.jit, static_argnames="cfg")
 def gn_step(g: FactorGraph, cfg: GNConfig) -> FactorGraph:
     """One Gauss-Newton iteration over the full graph."""
     with jax.default_matmul_precision(cfg.matmul_precision):
+        h_diag, h_off, w0, w1, hll, gp2, gl = _assemble_blocked(g, cfg)
+        blocks = _apply_gauge_blocked(g, cfg, h_diag, h_off, w0, w1, hll,
+                                      gp2, gl)
         if cfg.solve_bucket_step > 0:
-            h_diag, h_off, w_mat, hll, gp2, gl = _assemble_blocked(g, cfg)
-            blocks = _apply_gauge_blocked(g, cfg, h_diag, h_off, w_mat, hll,
-                                          gp2, gl)
             dp, dl = _bucketed_schur_solve(g.n_poses, *blocks, cfg)
         else:
-            blocks = assemble(g, cfg)
-            blocks = _apply_gauge(g, cfg, *blocks)
-            dp, dl = schur_solve(*blocks,
-                                 use_cholesky_kernel=cfg.use_cholesky_kernel)
+            h_diag, h_off, w0, w1, hll, gp2, gl = blocks
+            dp, dl = schur_solve_split(
+                densify_hpp(h_diag, h_off), w0, w1, hll, gp2.reshape(-1),
+                gl, use_cholesky_kernel=cfg.use_cholesky_kernel)
     d_pose = dp.reshape(-1, 3)
     poses = g.poses + d_pose
     # wrap only active vertices: rows >= n_poses receive an exact-zero

@@ -445,9 +445,11 @@ def _select_state(pred, a: SlamState, b: SlamState) -> SlamState:
     return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
 
 
-@partial(jax.jit, static_argnames=("cfg", "block"), donate_argnames="state")
+@partial(jax.jit, static_argnames=("cfg", "block", "vmap_safe_gn"),
+         donate_argnames="state")
 def blocked_core(state: SlamState, obs_seq, valid_seq, pose_seq,
-                 cfg: SlamConfig, block: int = 8):
+                 cfg: SlamConfig, block: int = 8,
+                 vmap_safe_gn: bool = False):
     """The compiled heart of the blocked pipeline (GN-free scans + one
     top-level GN). Inputs must already be padded to a multiple of `block`.
 
@@ -494,7 +496,14 @@ def blocked_core(state: SlamState, obs_seq, valid_seq, pose_seq,
     # ---- top-level one-shot closure GN (zero-trip when no closure):
     # scan-1 committed nothing past the closure frame, so the graph counts
     # are exactly what run_sequence's in-frame GN saw — no pinning needed.
-    g = gn.optimize(state.graph, _gn_config(cfg), enable=closure_found)
+    gcfg = _gn_config(cfg)
+    if vmap_safe_gn:
+        # the bucketed solve/assembly dispatch on lax.switch, and a vmapped
+        # switch executes EVERY branch — a batched caller would factorize
+        # at every bucket size. Run the full-capacity path instead.
+        gcfg = dataclasses.replace(gcfg, solve_bucket_step=0,
+                                   edge_bucket_step=0)
+    g = gn.optimize(state.graph, gcfg, enable=closure_found)
     state = dataclasses.replace(state, graph=g)
 
     # patch the closure frame's cone packet to the post-GN map
@@ -625,3 +634,72 @@ def run_pass_blocked(obs_seq, valid_seq, pose_seq, cfg: SlamConfig,
     from tpuslam.frontend.state import initial_state
     return run_sequence_blocked(initial_state(cfg.capacity), obs_seq,
                                 valid_seq, pose_seq, cfg, block)
+
+
+@partial(jax.jit, static_argnames=("cfg", "block"))
+def blocked_core_batched(states: SlamState, obs_seq, valid_seq, pose_seq,
+                         cfg: SlamConfig, block: int = 8):
+    """`blocked_core` vmapped over a leading session axis [S].
+
+    The blocked body is a straight-line program (no lax.cond anywhere), so
+    vmapping it is loss-free: every elementwise select, prefix scan, and
+    one-hot contraction becomes an S-wide batched op, and the top-level GN
+    becomes ONE batched solve per pass instead of one per session — unlike
+    the per-frame batched path (tpuslam/parallel/batch.py), which must
+    defer GN out of its vmapped cond and optimize sessions one at a time.
+
+    states: stacked SlamState [S]; obs_seq [S,Tp,N,4], valid_seq [S,Tp,N],
+    pose_seq [S,Tp,3] (pre-padded to a multiple of `block`). Returns
+    (states, outputs [S,Tp], done_upto [S]).
+    """
+    return jax.vmap(
+        lambda st, o, v, p: blocked_core.__wrapped__(st, o, v, p, cfg, block,
+                                                     vmap_safe_gn=True)
+    )(states, obs_seq, valid_seq, pose_seq)
+
+
+def run_sequences_blocked_batched(states: SlamState, obs_seq, valid_seq,
+                                  pose_seq, cfg: SlamConfig, block: int = 8):
+    """S independent sessions through the blocked pipeline in one dispatch.
+
+    Host-side wrapper like `run_sequence_blocked`: sessions reporting an
+    unhandled bootstrap/capacity fallback (never on healthy laps) are
+    finished per-frame in follow-up dispatches.
+    """
+    if not blocked_supported(cfg):
+        raise ValueError("unsupported config — see run_sequence_blocked")
+    S, T = obs_seq.shape[:2]
+    pad = (-T) % block
+    if pad:
+        far = jnp.full((S, pad, 3), 2.0 * cfg.gps_outlier_bound + 1.0,
+                       pose_seq.dtype)
+        obs_seq = jnp.concatenate(
+            [obs_seq, jnp.zeros((S, pad) + obs_seq.shape[2:],
+                                obs_seq.dtype)], axis=1)
+        valid_seq = jnp.concatenate(
+            [valid_seq, jnp.zeros((S, pad) + valid_seq.shape[2:], bool)],
+            axis=1)
+        pose_seq = jnp.concatenate([pose_seq, far], axis=1)
+    states, outs, done = blocked_core_batched(states, obs_seq, valid_seq,
+                                              pose_seq, cfg, block)
+    Tp = obs_seq.shape[1]
+    done_h = [int(d) for d in done]
+    if any(d < Tp for d in done_h):
+        st_list, out_list = [], []
+        for s in range(S):
+            st_s = jax.tree.map(lambda x: x[s], states)
+            out_s = jax.tree.map(lambda x: x[s], outs)
+            if done_h[s] < Tp:
+                st_s, out_net = _per_frame_completion(
+                    st_s, obs_seq[s], valid_seq[s], pose_seq[s], cfg,
+                    done[s])
+                fmask = jnp.arange(Tp) >= done_h[s]
+                out_s = jax.tree.map(
+                    lambda a, b: jnp.where(
+                        fmask.reshape((Tp,) + (1,) * (a.ndim - 1)), a, b),
+                    out_net, out_s)
+            st_list.append(st_s)
+            out_list.append(out_s)
+        states = jax.tree.map(lambda *x: jnp.stack(x), *st_list)
+        outs = jax.tree.map(lambda *x: jnp.stack(x), *out_list)
+    return states, jax.tree.map(lambda x: x[:, :T], outs)
