@@ -141,6 +141,29 @@ def _scatter_poses(g, poses, odo, pose_idx, ins):
     )
 
 
+def _compact_observations(obs_seq, valid_seq, nc: int):
+    """Per-frame stable compaction of valid observations to the first `nc`
+    slots: [T, N, 4] -> [T, nc, 4].
+
+    Every consumer of the observation axis is validity-gated and depends
+    only on the *relative order* of valid observations (association, edge
+    append, currentConeIndex prefixes, duplicate representatives), so
+    dropping padding slots is exact — except the bootstrap, which tests the
+    ORIGINAL first slot (reference src/slam.cpp:554 uses cone column 0):
+    the returned `first_valid` flag preserves that test. Frames with more
+    than `nc` valid observations would lose data; `overflow` marks them for
+    the fallback path.
+
+    Shrinking N is quadratic leverage: the in-block duplicate machinery is
+    O((B*N)^2) and real frames carry ~10-30 cones in 64 padded slots.
+    """
+    order = jnp.argsort(~valid_seq, axis=-1, stable=True)[..., :nc]
+    obs_c = jnp.take_along_axis(obs_seq, order[..., None], axis=-2)
+    valid_c = jnp.take_along_axis(valid_seq, order, axis=-1)
+    counts = jnp.sum(valid_seq, axis=-1)
+    return obs_c, valid_c, valid_seq[..., 0], counts > nc
+
+
 def _packet_series(lm_xy, lm_type, n_lm_after, cur_after, out_pose,
                    cfg: SlamConfig):
     """Per-frame upcoming-cone packets (see `_cone_packet`) from given
@@ -156,7 +179,7 @@ def _packet_series(lm_xy, lm_type, n_lm_after, cur_after, out_pose,
 
 
 def _mapping_block(state: SlamState, obs, valid, poses, okp,
-                   cfg: SlamConfig):
+                   cfg: SlamConfig, boot_ok=None, overflow=None):
     """Straight-line mapping-mode block (reference src/slam.cpp:552-635),
     GN-free: on closure, frames up to the closure frame commit and
     `loop_closure_complete` is set; the caller's top-level GN finishes the
@@ -190,7 +213,8 @@ def _mapping_block(state: SlamState, obs, valid, poses, okp,
     # ---- bootstrap (reference src/slam.cpp:554-567): empty map + valid
     # first observation seeds landmark 0 with an extra edge; it joins the
     # phase-A snapshot so obs (0,0) re-matches it (the double edge).
-    boot = (n_lm0 == 0) & valid[0, 0] & okp[0]
+    boot0 = valid[0, 0] if boot_ok is None else boot_ok[0]
+    boot = (n_lm0 == 0) & boot0 & okp[0]
     g = G.add_landmark(g, glob_k[0], otype_k[0], enable=boot)
     g = G.add_observation(g, pose_idx_f[0], jnp.int32(0), body_k[0],
                           enable=boot)
@@ -355,12 +379,15 @@ def _mapping_block(state: SlamState, obs, valid, poses, okp,
                 | ((n_poses0 + B > cap_p) & any_act)
                 | ((n_obs0 + 1 + BN > cap_e) & any_act)
                 | (n_lm0 + boot.astype(jnp.int32) + n_new_total > cap_l))
+    if overflow is not None:   # compaction dropped valid observations
+        fallback = fallback | jnp.any(overflow & okp)
     aux = dict(closure_any=closure_any, kc_frame=kc_frame, fallback=fallback,
                cur_series=cur_after, n_lm_series=n_lm_after)
     return new_state, outputs, aux
 
 
-def _loc_block(state: SlamState, obs, valid, poses, okp, cfg: SlamConfig):
+def _loc_block(state: SlamState, obs, valid, poses, okp, cfg: SlamConfig,
+               overflow=None):
     """Straight-line localization-mode block against the frozen map
     (reference src/slam.cpp:340-414). An all-False okp is an exact no-op.
     Returns (new_state, outputs [B], fallback_flag)."""
@@ -437,6 +464,8 @@ def _loc_block(state: SlamState, obs, valid, poses, okp, cfg: SlamConfig):
         n_landmarks=n_lm.astype(jnp.int32),
     )
     fallback = (g0.n_poses + B > g0.poses.shape[0]) & jnp.any(okp)
+    if overflow is not None:   # compaction dropped valid observations
+        fallback = fallback | jnp.any(overflow & okp)
     return new_state, outputs, fallback
 
 
@@ -445,11 +474,12 @@ def _select_state(pred, a: SlamState, b: SlamState) -> SlamState:
     return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
 
 
-@partial(jax.jit, static_argnames=("cfg", "block", "vmap_safe_gn"),
+@partial(jax.jit, static_argnames=("cfg", "block", "vmap_safe_gn",
+                                   "compact_obs"),
          donate_argnames="state")
 def blocked_core(state: SlamState, obs_seq, valid_seq, pose_seq,
                  cfg: SlamConfig, block: int = 8,
-                 vmap_safe_gn: bool = False):
+                 vmap_safe_gn: bool = False, compact_obs: int = 32):
     """The compiled heart of the blocked pipeline (GN-free scans + one
     top-level GN). Inputs must already be padded to a multiple of `block`.
 
@@ -461,20 +491,30 @@ def blocked_core(state: SlamState, obs_seq, valid_seq, pose_seq,
     B = block
     Tp = obs_seq.shape[0]
     nb = Tp // B
-    obs_b = obs_seq.reshape(nb, B, *obs_seq.shape[1:])
-    valid_b = valid_seq.reshape(nb, B, *valid_seq.shape[1:])
+    if 0 < compact_obs < valid_seq.shape[-1]:
+        obs_c, valid_c, first_valid, overflow = _compact_observations(
+            obs_seq, valid_seq, compact_obs)
+    else:
+        obs_c, valid_c = obs_seq, valid_seq
+        first_valid = valid_seq[:, 0]
+        overflow = jnp.zeros((Tp,), bool)
+    obs_b = obs_c.reshape(nb, B, *obs_c.shape[1:])
+    valid_b = valid_c.reshape(nb, B, *valid_c.shape[1:])
     pose_b = pose_seq.reshape(nb, B, 3)
+    fv_b = first_valid.reshape(nb, B)
+    ov_b = overflow.reshape(nb, B)
     closed0 = state.loop_closure_complete
     fidx = jnp.arange(B, dtype=jnp.int32)
 
     # ---- scan-1: mapping blocks, stop at closure or fallback
     def body1(carry, blk):
         st, stopped = carry
-        o, v, p = blk
+        o, v, p, fv, ov = blk
         active = ~stopped & ~st.loop_closure_complete
         okp = ((jnp.abs(p[:, 0]) <= cfg.gps_outlier_bound)
                & (jnp.abs(p[:, 1]) <= cfg.gps_outlier_bound) & active)
-        ns, outs, aux = _mapping_block(st, o, v, p, okp, cfg)
+        ns, outs, aux = _mapping_block(st, o, v, p, okp, cfg, boot_ok=fv,
+                                       overflow=ov)
         fb = aux["fallback"] & active
         st2 = _select_state(fb, st, ns)
         committed = active & ~fb
@@ -485,7 +525,7 @@ def blocked_core(state: SlamState, obs_seq, valid_seq, pose_seq,
         return (st2, stopped | fb | (aux["closure_any"] & committed)), ys
 
     (state, _), (outs1, m1, fb1, cls1, kcf1, cur1, nlm1) = jax.lax.scan(
-        body1, (state, closed0), (obs_b, valid_b, pose_b))
+        body1, (state, closed0), (obs_b, valid_b, pose_b, fv_b, ov_b))
 
     closure_found = jnp.any(cls1)
     i_c = jnp.argmax(cls1).astype(jnp.int32)
@@ -528,20 +568,20 @@ def blocked_core(state: SlamState, obs_seq, valid_seq, pose_seq,
     # ---- scan-2: localization blocks for every frame after the closure
     def body2(carry, xs):
         st, stopped = carry
-        ib, (o, v, p) = xs
+        ib, (o, v, p, ov) = xs
         frames = ib * B + fidx
         active = ~stopped & st.loop_closure_complete
         okp = ((jnp.abs(p[:, 0]) <= cfg.gps_outlier_bound)
                & (jnp.abs(p[:, 1]) <= cfg.gps_outlier_bound)
                & (frames > kc_global) & active)
-        ns, outs, fb = _loc_block(st, o, v, p, okp, cfg)
+        ns, outs, fb = _loc_block(st, o, v, p, okp, cfg, overflow=ov)
         st2 = _select_state(fb, st, ns)
         m2 = active & ~fb & (frames > kc_global)
         return (st2, stopped | fb), (outs, m2, fb)
 
     (state, _), (outs2, m2, fb2) = jax.lax.scan(
         body2, (state, jnp.asarray(False)),
-        (jnp.arange(nb, dtype=jnp.int32), (obs_b, valid_b, pose_b)))
+        (jnp.arange(nb, dtype=jnp.int32), (obs_b, valid_b, pose_b, ov_b)))
 
     # ---- merge + completion boundary
     m1f = m1.reshape(Tp)
@@ -609,7 +649,9 @@ def run_sequence_blocked(state: SlamState, obs_seq, valid_seq, pose_seq,
                                                   pose_seq, cfg, block)
     # edge capacity below one block's rows: the mapping body cannot trace
     # its block-wide edge append; the per-frame scan is the whole program
-    if cfg.capacity.max_obs < block * obs_seq.shape[1] + 1:
+    eff_n = min(obs_seq.shape[1], 32) if obs_seq.shape[1] > 32 \
+        else obs_seq.shape[1]
+    if cfg.capacity.max_obs < block * eff_n + 1:
         state, outs = _per_frame_completion(state, obs_seq, valid_seq,
                                             pose_seq, cfg, jnp.int32(0))
         return state, jax.tree.map(lambda x: x[:T], outs)
