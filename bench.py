@@ -115,6 +115,23 @@ def main():
     sec_per_pass = timed_slope(multi_pass, 2, 8)
     fps_tpu = t_frames / sec_per_pass
 
+    # online latency: device time per keyframe of the LIVE path (the
+    # per-frame run_sequence scan the service drives one keyframe at a
+    # time) — the number that compares against the reference's 10-20 ms
+    # real-time frame budget (gatheringTimeMs)
+    def multi_seq(k):
+        @jax.jit
+        def run():
+            def one(_, __):
+                st = init_state(cap)
+                st, _o = run_sequence.__wrapped__(st, obs, valid, poses, cfg)
+                return (), st.graph.n_poses
+            _, ys = jax.lax.scan(one, (), None, length=k)
+            return ys
+        return run
+
+    online_latency_us = timed_slope(multi_seq, 1, 3) / t_frames * 1e6
+
     # batched multi-session throughput on the same chip: the blocked core
     # vmapped over S independent sessions — the single-chip half of
     # "multi-session pod-scale mapping". Pose capacity sized to the lap
@@ -205,6 +222,8 @@ def main():
         "reference_design_bound_fps": reference_design_bound_fps,
         "batched_sessions": n_sess,
         "batched_frames_per_sec_per_chip": round(fps_batched, 2),
+        "online_keyframe_latency_us": round(online_latency_us, 1),
+        "reference_frame_budget_us": cfg.gathering_time_ms * 1000.0,
         "ate_m": round(float(ate_m), 4),
         "ate_improved_online_m": round(float(ate_improved), 4),
         "ate_improved_final_m": round(float(ate_improved_final), 4),
