@@ -174,3 +174,48 @@ def test_multihost_distributed_gn_smoke():
                           capture_output=True, text=True, timeout=560)
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert '"ok": true' in proc.stdout
+
+
+def test_fleet_blocked_matches_unsharded():
+    """Blocked batched core shard_mapped over the sessions mesh axis ==
+    the unsharded batched core, bit-exact (placement only, no math change)."""
+    import jax.numpy as jnp
+    from tpuslam.backend.graph import GraphCapacity
+    from tpuslam.frontend.blocked import blocked_core_batched
+    from tpuslam.parallel.batch import initial_states
+    from tpuslam.parallel.fleet import run_fleet_blocked
+    from tpuslam.parallel.mesh import make_slam_mesh
+    from tpuslam.runtime.config import SlamConfig
+    from tpuslam.sim import SimConfig, simulate, trackdrive
+
+    S, B = 8, 8
+    scens = [simulate(trackdrive(seed=11),
+                      SimConfig(laps=1.2, keyframe_dt=0.2, speed=8.0,
+                                max_range=20.0, seed=40 + s))
+             for s in range(S)]
+    T = min(len(sc.times) for sc in scens)
+    T -= T % B
+    cap = GraphCapacity(max_poses=max(64, T), max_landmarks=128, max_obs=2048)
+    cfg = SlamConfig(capacity=cap)
+    ob = jnp.stack([jnp.asarray(sc.obs[:T], jnp.float32) for sc in scens])
+    vb = jnp.stack([jnp.asarray(sc.obs_valid[:T]) for sc in scens])
+    pb = jnp.stack([jnp.asarray(sc.odom_poses[:T], jnp.float32)
+                    for sc in scens])
+
+    sts0 = initial_states(cap, S)
+    ref_states, ref_outs, ref_done = blocked_core_batched(
+        sts0, ob, vb, pb, cfg, B)
+
+    mesh = make_slam_mesh(n_sessions=8, n_edge_shards=1)
+    f_states, f_outs, f_done = run_fleet_blocked(
+        initial_states(cap, S), ob, vb, pb, cfg, mesh, block=B)
+
+    # decisions must be exact; float leaves carry ~1e-5 noise (a local
+    # batch of 1 matmul/Cholesky tiles differently than a batch of 8)
+    for a, b in zip(jax.tree.leaves((ref_states, ref_outs, ref_done)),
+                    jax.tree.leaves((f_states, f_outs, f_done))):
+        a, b = np.asarray(a), np.asarray(b)
+        if a.dtype.kind in "fc":
+            np.testing.assert_allclose(a, b, atol=2e-4, rtol=0)
+        else:
+            np.testing.assert_array_equal(a, b)
