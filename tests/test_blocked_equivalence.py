@@ -193,3 +193,27 @@ def test_blocked_improved_mode_matches_run_sequence():
     assert bool(s1.loop_closure_complete)
     _assert_tree_equal(o1, o2, "outputs[improved]")
     _assert_state_equal(s1, s2, "state[improved]")
+
+
+@pytest.mark.parametrize("seed", [101, 202, 303])
+def test_blocked_stress_dense_noisy_layouts(seed):
+    """Adversarial stress: high observation noise + dense cone spacing push
+    the duplicate-representative machinery (deep chains, cross-frame
+    matches near the gate boundary). Blocked must stay bit-exact."""
+    track = trackdrive(seed=seed)
+    scen = simulate(track, SimConfig(laps=1.3, keyframe_dt=0.12, speed=9.0,
+                                     max_range=25.0, seed=seed + 1,
+                                     obs_noise_range=0.35, obs_noise_az_deg=1.5,
+                                     gps_noise=0.4, heading_noise=0.06))
+    T = len(scen.times)
+    cap = GraphCapacity(max_poses=max(64, 1 << (T - 1).bit_length()),
+                        max_landmarks=384, max_obs=8192)
+    obs = jnp.asarray(scen.obs, jnp.float32)
+    valid = jnp.asarray(scen.obs_valid)
+    poses = jnp.asarray(scen.odom_poses, jnp.float32)
+    cfg = SlamConfig(capacity=cap)
+    s1, o1 = run_sequence(initial_state(cap), obs, valid, poses, cfg)
+    s2, o2 = run_sequence_blocked(initial_state(cap), obs, valid, poses,
+                                  cfg, block=8)
+    _assert_tree_equal(o1, o2, f"outputs[stress seed={seed}]")
+    _assert_state_equal(s1, s2, f"state[stress seed={seed}]")
