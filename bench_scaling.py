@@ -144,6 +144,51 @@ def main():
         "efficiency": round(te_1 / (n_dev * te_n), 3),
     }
 
+    # --- fleet scaling: WHOLE blocked SLAM passes (mapping -> closure ->
+    # localization, frontend/blocked.py) over the sessions axis — the
+    # production serving path, one lap per device
+    import jax.numpy as jnp
+    from tpuslam.frontend.blocked import blocked_core_batched
+    from tpuslam.parallel.batch import initial_states
+    from tpuslam.parallel.fleet import run_fleet_blocked
+    from tpuslam.runtime.config import SlamConfig
+    from tpuslam.sim import SimConfig, simulate, trackdrive
+
+    B = 8
+    scens = [simulate(trackdrive(seed=11),
+                      SimConfig(laps=1.2, keyframe_dt=0.2, speed=8.0,
+                                max_range=20.0, seed=60 + s))
+             for s in range(n_dev)]
+    T = min(len(sc.times) for sc in scens)
+    T -= T % B
+    scap = GraphCapacity(max_poses=max(64, T), max_landmarks=128,
+                         max_obs=2048)
+    scfg = SlamConfig(capacity=scap)
+    ob = jnp.stack([jnp.asarray(sc.obs[:T], jnp.float32) for sc in scens])
+    vb = jnp.stack([jnp.asarray(sc.obs_valid[:T]) for sc in scens])
+    pb = jnp.stack([jnp.asarray(sc.odom_poses[:T], jnp.float32)
+                    for sc in scens])
+
+    def timeit_tree(fn, reps=5):
+        out = fn()
+        jax.block_until_ready(jax.tree.leaves(out)[0])
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn()
+        jax.block_until_ready(jax.tree.leaves(out)[0])
+        return (time.perf_counter() - t0) / reps
+
+    tf_1 = timeit_tree(lambda: blocked_core_batched(
+        initial_states(scap, 1), ob[:1], vb[:1], pb[:1], scfg, B))
+    fleet_mesh = make_slam_mesh(n_sessions=n_dev, n_edge_shards=1)
+    tf_n = timeit_tree(lambda: run_fleet_blocked(
+        initial_states(scap, n_dev), ob, vb, pb, scfg, fleet_mesh, block=B))
+    results["fleet_scaling"] = {
+        "t1_s": round(tf_1, 4), "tN_s": round(tf_n, 4),
+        "sessions": n_dev, "frames_per_session": T,
+        "efficiency": round(tf_1 / tf_n, 3),
+    }
+
     print(json.dumps(results))
 
 
