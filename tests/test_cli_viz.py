@@ -102,3 +102,22 @@ def test_cli_replay_with_live_viewer(tmp_path):
     rc = cli_main(["replay", rec, "--viz-png", png, "--viz-interval", "0.05"])
     assert rc == 0
     assert os.path.exists(png)
+
+
+def test_cli_sim_blocked_pipeline_matches_live(tmp_path, capsys):
+    """`slamctl sim --pipeline blocked` must report the same trajectory
+    metrics as the live per-frame engine."""
+    import json
+    from tpuslam.cli.main import main as cli_main
+
+    outs = {}
+    for pipeline in ("live", "blocked"):
+        rc = cli_main(["--platform", "cpu", "sim", "skidpad",
+                       "--pipeline", pipeline])
+        assert rc == 0
+        outs[pipeline] = json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1])
+    a, b = outs["live"], outs["blocked"]
+    assert a["ate_published_m"] == b["ate_published_m"]
+    assert a["loop_closed"] == b["loop_closed"]
+    assert a["landmarks"] == b["landmarks"]

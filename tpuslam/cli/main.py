@@ -127,23 +127,46 @@ def cmd_sim(args):
         from tpuslam.runtime.service import scenario_to_rec
         scenario_to_rec(scen, args.rec_out, cfg)
         print(f"[slamctl] wrote {args.rec_out}", file=sys.stderr)
-    slam = Slam(cfg)
-    t0 = time.perf_counter()
-    est = slam.run_scenario(scen)
-    dt = time.perf_counter() - t0
+    if args.pipeline == "blocked":
+        # whole-lap replay through the frame-blocked device pipeline
+        # (frontend/blocked.py) — bit-exact vs the live per-frame engine
+        import jax
+        import jax.numpy as jnp
+        from tpuslam.frontend.blocked import run_pass_blocked
+        obs = jnp.asarray(scen.obs, jnp.float32)
+        valid = jnp.asarray(scen.obs_valid)
+        poses = jnp.asarray(scen.odom_poses, jnp.float32)
+        run_pass_blocked(obs, valid, poses, cfg)       # warm/compile
+        t0 = time.perf_counter()
+        state, outs = run_pass_blocked(obs, valid, poses, cfg)
+        jax.block_until_ready(state.graph.poses)
+        dt = time.perf_counter() - t0
+        est = np.asarray(outs.pose)
+        loop_closed = bool(state.loop_closure_complete)
+        n_landmarks = int(state.graph.n_landmarks)
+        viz_state = state
+    else:
+        slam = Slam(cfg)
+        t0 = time.perf_counter()
+        est = slam.run_scenario(scen)
+        dt = time.perf_counter() - t0
+        loop_closed = slam.loop_closure_complete
+        n_landmarks = int(slam.state.graph.n_landmarks)
+        viz_state = slam.state
     result = {
         "track": track.name,
+        "pipeline": args.pipeline,
         "frames": len(scen.times),
         "fps": round(len(scen.times) / dt, 1),
-        "loop_closed": slam.loop_closure_complete,
-        "landmarks": int(slam.state.graph.n_landmarks),
+        "loop_closed": loop_closed,
+        "landmarks": n_landmarks,
         "ate_published_m": round(ate(est[:, :2], scen.gt_poses[:, :2]), 4),
         "ate_odometry_m": round(
             ate(scen.odom_poses[:, :2], scen.gt_poses[:, :2]), 4),
     }
     if args.png:
         from tpuslam.viz import save_state_png
-        save_state_png(slam.state, args.png, gt_track=track)
+        save_state_png(viz_state, args.png, gt_track=track)
         result["png"] = args.png
     print(json.dumps(result))
     return 0
@@ -235,6 +258,10 @@ def main(argv=None):
     ps.add_argument("--laps", type=float, default=1.3)
     ps.add_argument("--seed", type=int, default=0)
     ps.add_argument("--rec-out")
+    ps.add_argument("--pipeline", choices=["live", "blocked"], default="live",
+                    help="live = message-level per-frame engine; blocked = "
+                         "whole-lap frame-blocked device pipeline "
+                         "(frontend/blocked.py, bit-exact, ~20x faster)")
     ps.add_argument("--png")
     ps.set_defaults(fn=cmd_sim)
 
