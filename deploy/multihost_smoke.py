@@ -80,11 +80,56 @@ def worker(proc_id: int) -> int:
     want = np.stack([np.asarray(gn.optimize(g, cfg).poses) for g in graphs])
     err = float(np.max(np.abs(got - want)))
     ok = bool(np.allclose(got, want, atol=1e-4))
+
+    # ---- fleet tier across the same process boundary: whole blocked SLAM
+    # passes (mapping -> closure -> localization) sharded over 'sessions'
+    import jax.numpy as jnp
+    from tpuslam.frontend.blocked import blocked_core_batched
+    from tpuslam.parallel.batch import initial_states
+    from tpuslam.parallel.fleet import run_fleet_blocked
+    from tpuslam.runtime.config import SlamConfig
+
+    B, T, N = 4, 8, 8
+    scfg = SlamConfig(capacity=GraphCapacity(max_poses=16, max_landmarks=16,
+                                             max_obs=B * N + 8),
+                      max_obs_per_frame=N)
+    rngf = np.random.default_rng(7)
+    obs = np.zeros((n_global, T, N, 4), np.float32)
+    obs[:, :, 0] = np.asarray([10.0, 0.0, 5.0, 1.0])
+    obs[:, :, 0, 0] += rngf.normal(0, 0.2, (n_global, T)).astype(np.float32)
+    valid = np.zeros((n_global, T, N), bool)
+    valid[:, :, 0] = True
+    pth = np.stack([np.arange(T, dtype=np.float32), np.zeros(T),
+                    np.zeros(T)], -1)
+    poses = np.broadcast_to(pth, (n_global, T, 3)).copy()
+
+    fleet_local = (obs[proc_id * DEV_PER_PROC:(proc_id + 1) * DEV_PER_PROC],
+                   valid[proc_id * DEV_PER_PROC:(proc_id + 1) * DEV_PER_PROC],
+                   poses[proc_id * DEV_PER_PROC:(proc_id + 1) * DEV_PER_PROC])
+    st_local = initial_states(scfg.capacity, DEV_PER_PROC)
+    g_in = jax.tree.map(
+        lambda x: multihost_utils.host_local_array_to_global_array(
+            np.asarray(x), mesh, P("sessions")),
+        (st_local, *fleet_local))
+    fstates, fouts, fdone = run_fleet_blocked(g_in[0], g_in[1], g_in[2],
+                                              g_in[3], scfg, mesh, block=B)
+    fposes = multihost_utils.process_allgather(fstates.graph.poses,
+                                               tiled=True)
+    fdone_all = multihost_utils.process_allgather(fdone, tiled=True)
+    # unsharded local oracle over all sessions
+    ref_states, _, _ = blocked_core_batched(
+        initial_states(scfg.capacity, n_global), jnp.asarray(obs),
+        jnp.asarray(valid), jnp.asarray(poses), scfg, B)
+    want_f = np.asarray(ref_states.graph.poses)
+    fleet_ok = bool(np.allclose(fposes, want_f, atol=1e-4)) \
+        and bool(np.all(np.asarray(fdone_all) == T))
+
     print(json.dumps({"proc": proc_id, "devices": n_global,
-                      "max_abs_err_vs_single_device": err, "ok": ok}),
+                      "max_abs_err_vs_single_device": err, "ok": ok,
+                      "fleet_blocked_ok": fleet_ok}),
           flush=True)
     jax.distributed.shutdown()
-    return 0 if ok else 1
+    return 0 if (ok and fleet_ok) else 1
 
 
 def launcher() -> int:
