@@ -12,7 +12,7 @@ replication avoids a broadcast of the result).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -71,13 +71,21 @@ def distributed_gn_step(g: FactorGraph, cfg: gn.GNConfig, mesh) -> FactorGraph:
     return dataclasses.replace(g, poses=poses, lm_xy=g.lm_xy + dl)
 
 
-def distributed_optimize(g: FactorGraph, cfg: gn.GNConfig, mesh) -> FactorGraph:
-    """`cfg.iterations` distributed GN iterations under one jit."""
-
+@lru_cache(maxsize=None)
+def _build_optimize(cfg: gn.GNConfig, mesh):
     @jax.jit
     def run(g):
         def body(_, gg):
             return distributed_gn_step(gg, cfg, mesh)
         return jax.lax.fori_loop(0, cfg.iterations, body, g)
 
-    return run(g)
+    return run
+
+
+def distributed_optimize(g: FactorGraph, cfg: gn.GNConfig, mesh) -> FactorGraph:
+    """`cfg.iterations` distributed GN iterations under one jit.
+
+    The compiled program is cached per (cfg, mesh); repeat calls (the serving
+    path re-optimizes per closure) don't re-trace.
+    """
+    return _build_optimize(cfg, mesh)(g)

@@ -19,7 +19,7 @@ than a batch of S (tests/test_parallel.py::test_fleet_blocked_matches_unsharded)
 """
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 from jax import shard_map
@@ -32,6 +32,19 @@ from tpuslam.runtime.config import SlamConfig
 __all__ = ["run_fleet_blocked"]
 
 
+@lru_cache(maxsize=None)
+def _build_run(mesh, cfg: SlamConfig, block: int, axis: str):
+    spec = P(axis)
+
+    @jax.jit
+    @partial(shard_map, mesh=mesh, in_specs=(spec, spec, spec, spec),
+             out_specs=spec, check_vma=False)
+    def run(st, o, v, p):
+        return blocked_core_batched.__wrapped__(st, o, v, p, cfg, block)
+
+    return run
+
+
 def run_fleet_blocked(states: SlamState, obs_seq, valid_seq, pose_seq,
                       cfg: SlamConfig, mesh, block: int = 8,
                       axis: str = "sessions"):
@@ -41,14 +54,8 @@ def run_fleet_blocked(states: SlamState, obs_seq, valid_seq, pose_seq,
     pose_seq [S,Tp,3], Tp pre-padded to a multiple of `block`; S must be a
     multiple of the axis size. Returns (states, outputs [S,Tp], done_upto
     [S]) exactly like `blocked_core_batched`, with leaves sharded over the
-    sessions axis.
+    sessions axis. The compiled program is cached per (mesh, cfg, block,
+    axis) — repeat calls don't re-trace.
     """
-    spec = P(axis)
-
-    @partial(jax.jit, static_argnames=())
-    @partial(shard_map, mesh=mesh, in_specs=(spec, spec, spec, spec),
-             out_specs=spec, check_vma=False)
-    def run(st, o, v, p):
-        return blocked_core_batched.__wrapped__(st, o, v, p, cfg, block)
-
-    return run(states, obs_seq, valid_seq, pose_seq)
+    return _build_run(mesh, cfg, block, axis)(
+        states, obs_seq, valid_seq, pose_seq)

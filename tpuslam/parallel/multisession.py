@@ -12,7 +12,7 @@ edge-axis shard_map.
 """
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
@@ -37,13 +37,17 @@ def multisession_optimize(stacked: FactorGraph, cfg: gn.GNConfig, mesh,
 
     Each device holds S/n_sessions sessions' replicated states and 1/n_edges
     of every session's edge list; assembly psums over 'edges', the reduced
-    solves run vmapped per local session.
+    solves run vmapped per local session. The compiled program is cached per
+    (cfg, mesh, iterations, capacity); repeat calls don't re-trace.
     """
     iters = cfg.iterations if iterations is None else iterations
-    cap = stacked.capacity  # capacity of the per-session graph (leaf[1:])
     cap = GraphCapacity(stacked.poses.shape[1], stacked.lm_xy.shape[1],
                         stacked.obs_pose.shape[1])
+    return _build_run(cfg, mesh, iters, cap)(stacked)
 
+
+@lru_cache(maxsize=None)
+def _build_run(cfg: gn.GNConfig, mesh, iters: int, cap: GraphCapacity):
     sess_spec = P("sessions")
     sess_edge_spec = P("sessions", "edges")
 
@@ -127,4 +131,4 @@ def multisession_optimize(stacked: FactorGraph, cfg: gn.GNConfig, mesh,
                 return one_iteration(s)
             return jax.lax.fori_loop(0, iters, body, st)
 
-    return run(stacked)
+    return run
