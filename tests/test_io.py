@@ -282,3 +282,80 @@ def test_od4_native_self_send_filter():
         return got
 
     assert asyncio.run(run()) == []
+
+
+def test_player_command_status_wire_format():
+    """PlayerCommand [9] / PlayerStatus [10] encode exactly like cluon's
+    ToProtoVisitor (uint8/uint32 -> plain varint, float -> LE32; reference
+    src/cluon-complete-build.hpp:9902-9925, 4130-4162, 4295-4335)."""
+    pc = M.PlayerCommand(command=3, seekTo=0.5)
+    data = proto.encode(pc)
+    # field 1 (varint): key 0x08, value 3; field 2 (32-bit): key 0x15, 0.5f LE
+    assert data == bytes([0x08, 0x03, 0x15]) + struct.pack("<f", 0.5)
+    assert proto.decode(M.PlayerCommand, data) == pc
+
+    ps = M.PlayerStatus(state=2, numberOfEntries=300, currentEntryForPlayback=7)
+    data = proto.encode(ps)
+    # 0x08 state=2 | 0x10 varint(300)=0xAC 0x02 | 0x18 7
+    assert data == bytes([0x08, 0x02, 0x10, 0xAC, 0x02, 0x18, 0x07])
+    assert proto.decode(M.PlayerStatus, data) == ps
+    assert M.MESSAGE_REGISTRY[9] is M.PlayerCommand
+    assert M.MESSAGE_REGISTRY[10] is M.PlayerStatus
+
+
+def test_replay_to_bus_remote_control(tmp_path):
+    """cluon-replay parity: bus replay obeys PlayerCommand pause/play/seek
+    and reports PlayerStatus progress (cluon :15863-16054)."""
+    from tpuslam.io.od4 import OD4Session
+    from tpuslam.io.rec import replay_to_bus
+
+    path = str(tmp_path / "ctrl.rec")
+    with RecWriter(path) as w:
+        for t in range(40):
+            w.write_message(M.ObjectType(objectId=t, type=1),
+                            sample_us=t * 20_000, sender_stamp=118)
+
+    async def run():
+        player_s = OD4Session(cid=198)
+        ctrl = OD4Session(cid=198)
+        got, statuses = [], []
+        ctrl.data_trigger(M.ObjectType.ID, lambda env: got.append(env))
+        ctrl.data_trigger(M.PlayerStatus.ID, lambda env: statuses.append(
+            proto.decode(M.PlayerStatus, env.serializedData)))
+        try:
+            await player_s.start()
+            await ctrl.start()
+        except OSError:
+            pytest.skip("multicast sockets unavailable in sandbox")
+
+        from tpuslam.io.rec import Player
+        task = asyncio.create_task(
+            replay_to_bus(Player(path), player_s, paced=True))
+        # pause immediately, confirm the stream stalls
+        await asyncio.sleep(0.15)
+        ctrl.send(M.PlayerCommand(command=2))
+        await asyncio.sleep(0.3)
+        n_at_pause = len(got)
+        await asyncio.sleep(0.4)
+        stalled = len(got) - n_at_pause <= 1  # at most one in-flight envelope
+        # seek near the end, then resume
+        ctrl.send(M.PlayerCommand(command=3, seekTo=0.9))
+        await asyncio.sleep(0.1)
+        ctrl.send(M.PlayerCommand(command=1))
+        await asyncio.wait_for(task, timeout=20)
+        await asyncio.sleep(0.2)
+        await player_s.stop()
+        await ctrl.stop()
+        return got, statuses, stalled
+
+    got, statuses, stalled = asyncio.run(run())
+    if not got and not statuses:
+        pytest.skip("multicast loopback not routed in this sandbox")
+    assert stalled, "pause must stop the replay stream"
+    # envelopes re-published verbatim: original sender stamp + sample time
+    assert all(e.senderStamp == 118 for e in got)
+    # status reports: loading -> playback with the index size
+    assert statuses[0].state == 1
+    assert any(s.state == 2 and s.numberOfEntries == 40 for s in statuses)
+    # the final status carries the total replayed count
+    assert statuses[-1].currentEntryForPlayback == len(got)

@@ -93,6 +93,29 @@ def cmd_run(args):
 
 
 def cmd_replay(args):
+    if args.to_bus:
+        # cluon-replay mode: publish onto the OD4 bus, remote-controlled by
+        # PlayerCommand [9], reporting PlayerStatus [10]
+        from tpuslam.io.od4 import OD4Session
+        from tpuslam.io.rec import Player, replay_to_bus
+
+        async def run():
+            od4 = OD4Session(cid=args.cid)
+            await od4.start()
+            try:
+                n = await replay_to_bus(Player(args.rec), od4,
+                                        paced=args.paced,
+                                        speedup=args.speedup)
+                print(f"[slamctl] replayed {n} envelopes onto cid "
+                      f"{args.cid}", file=sys.stderr)
+            finally:
+                await od4.stop()
+
+        try:
+            asyncio.run(run())
+        except KeyboardInterrupt:
+            pass
+        return 0
     from tpuslam.runtime.service import SlamService
     cfg = _config_from_args(args)
     svc = SlamService(cfg)
@@ -248,6 +271,9 @@ def main(argv=None):
     pp.add_argument("rec")
     pp.add_argument("--paced", action="store_true")
     pp.add_argument("--speedup", type=float, default=1.0)
+    pp.add_argument("--to-bus", action="store_true",
+                    help="publish onto the OD4 bus instead of the local "
+                         "pipeline (cluon-replay; PlayerCommand-controlled)")
     pp.add_argument("--checkpoint")
     pp.add_argument("--png")
     pp.set_defaults(fn=cmd_replay)

@@ -204,6 +204,39 @@ class PointCloudReading:
     numberOfBitsForIntensity: int = 0
 
 
+@register
+@dataclass
+class PlayerCommand:
+    """cluon.data.PlayerCommand [9]: remote control of a .rec replay
+    (reference src/cluon-complete-build.hpp:4110-4162, 8300; handled by
+    cluon-replay at :15888-16035). command: 1=play, 2=pause, 3=seekTo."""
+    ID: ClassVar[int] = 9
+    LONG_NAME: ClassVar[str] = "cluon.data.PlayerCommand"
+    ODVD_TYPES: ClassVar = {"command": "uint8", "seekTo": "float"}
+    FIELDS: ClassVar = [(1, VARINT_UNSIGNED, "command", None),
+                        (2, FLOAT, "seekTo", None)]
+    command: int = 0
+    seekTo: float = 0.0
+
+
+@register
+@dataclass
+class PlayerStatus:
+    """cluon.data.PlayerStatus [10]: replay progress report (reference
+    src/cluon-complete-build.hpp:4274-4335, 8335; emitted by Player every
+    10th replayed envelope at :13600-13618). state: 1=loading, 2=playback."""
+    ID: ClassVar[int] = 10
+    LONG_NAME: ClassVar[str] = "cluon.data.PlayerStatus"
+    ODVD_TYPES: ClassVar = {"state": "uint8", "numberOfEntries": "uint32",
+                            "currentEntryForPlayback": "uint32"}
+    FIELDS: ClassVar = [(1, VARINT_UNSIGNED, "state", None),
+                        (2, VARINT_UNSIGNED, "numberOfEntries", None),
+                        (3, VARINT_UNSIGNED, "currentEntryForPlayback", None)]
+    state: int = 0
+    numberOfEntries: int = 0
+    currentEntryForPlayback: int = 0
+
+
 @dataclass
 class GenericMessage:
     """Runtime-typed fallback for unknown dataTypes (cluon GenericMessage

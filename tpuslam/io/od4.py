@@ -153,6 +153,13 @@ class OD4Session:
     def send(self, msg, sample_us: int = 0, sender_stamp: int = 0):
         """Serialize + multicast one message (OD4Session::send)."""
         env = E.pack_message(msg, sample_us, sender_stamp)
+        return self.send_envelope(env)
+
+    def send_envelope(self, env):
+        """Multicast an already-built envelope verbatim (cluon's
+        OD4Session::send(Envelope&&) used by cluon-replay to re-publish
+        recorded envelopes with their original timestamps, reference
+        src/cluon-complete-build.hpp:16037-16040)."""
         data = E.serialize_envelope(env)
         if self._native_ep is not None:
             self._native_ep.send(data)

@@ -17,7 +17,7 @@ from typing import Callable, Iterator, Optional
 from tpuslam.io import messages as M
 from tpuslam.io import envelope as E
 
-__all__ = ["RecWriter", "read_rec", "RecIndex", "Player"]
+__all__ = ["RecWriter", "read_rec", "RecIndex", "Player", "replay_to_bus"]
 
 
 class RecWriter:
@@ -128,3 +128,63 @@ class Player:
                     time.sleep(d / 1e6 / speedup)
             if self._cursor >= len(self.index) and not self.auto_rewind:
                 return
+
+
+async def replay_to_bus(player: Player, od4, paced: bool = True,
+                        speedup: float = 1.0, status_every: int = 10):
+    """Publish a recording onto an OD4 bus, remote-controlled over the bus.
+
+    The cluon-replay tool (reference src/cluon-complete-build.hpp:15863-16054):
+    listens for `PlayerCommand` [9] — command 1=play, 2=pause,
+    3=seekTo(ratio) (:16020-16033) — and reports `PlayerStatus` [10]:
+    state=1 while loading (:15939), state=2 with numberOfEntries once
+    playing (:15968-15970), then progress every `status_every` replayed
+    envelopes (the Player's statisticsCounter%10 cadence, :13600-13618).
+    While paused it idles at 100 ms ticks (:16050). Envelopes are
+    re-published verbatim (original timestamps), like od4->send(next.second).
+    """
+    import asyncio
+
+    playing = True
+    pending_seek: list[float] = []
+
+    def on_command(env: M.Envelope):
+        nonlocal playing
+        from tpuslam.io import proto
+        pc = proto.decode(M.PlayerCommand, env.serializedData)
+        if pc.command in (1, 2):
+            playing = pc.command == 1
+        elif pc.command == 3:
+            pending_seek.append(pc.seekTo)
+
+    od4.data_trigger(M.PlayerCommand.ID, on_command)
+
+    def status(state: int, current: int):
+        od4.send(M.PlayerStatus(state=state, numberOfEntries=len(player),
+                                currentEntryForPlayback=current))
+
+    status(1, 0)  # loading
+    status(2, 0)  # playback starts
+    replayed = 0
+    while player.has_more:
+        if pending_seek:
+            player.seek(pending_seek.pop())
+            pending_seek.clear()
+        if not playing:
+            await asyncio.sleep(0.1)
+            continue
+        env = player.next_envelope()
+        if env is None:
+            break
+        od4.send_envelope(env)
+        replayed += 1
+        if status_every and replayed % status_every == 0:
+            status(2, replayed)
+        if paced:
+            d = player.delay_us()
+            if d:
+                await asyncio.sleep(d / 1e6 / speedup)
+        if player._cursor >= len(player.index) and not player.auto_rewind:
+            break
+    status(2, replayed)
+    return replayed
