@@ -359,3 +359,29 @@ def test_replay_to_bus_remote_control(tmp_path):
     assert any(s.state == 2 and s.numberOfEntries == 40 for s in statuses)
     # the final status carries the total replayed count
     assert statuses[-1].currentEntryForPlayback == len(got)
+
+
+def test_replay_to_stdout_stream(tmp_path):
+    """cluon-replay's playBackToStdout: framed envelopes (data + PlayerStatus)
+    serialized to a byte stream, no bus needed (cluon :15877, 16013-16017)."""
+    from tpuslam.io.rec import replay_to_bus
+
+    path = str(tmp_path / "sout.rec")
+    with RecWriter(path) as w:
+        for t in range(25):
+            w.write_message(M.ObjectDistance(objectId=t, distance=1.0 * t),
+                            sample_us=t * 1000, sender_stamp=7)
+
+    out = pyio.BytesIO()
+    n = asyncio.run(replay_to_bus(Player(path), od4=None, paced=False,
+                                  stdout_stream=out))
+    assert n == 25
+    envs = list(E.iterate_envelopes(out.getvalue()))
+    data = [e for e in envs if e.dataType == M.ObjectDistance.ID]
+    stat = [proto.decode(M.PlayerStatus, e.serializedData) for e in envs
+            if e.dataType == M.PlayerStatus.ID]
+    assert len(data) == 25 and data[0].senderStamp == 7
+    # loading -> playback -> 2 progress reports (every 10) -> final
+    assert [s.state for s in stat] == [1, 2, 2, 2, 2]
+    assert stat[-1].currentEntryForPlayback == 25
+    assert all(s.numberOfEntries == 25 for s in stat)

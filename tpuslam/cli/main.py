@@ -93,23 +93,28 @@ def cmd_run(args):
 
 
 def cmd_replay(args):
-    if args.to_bus:
-        # cluon-replay mode: publish onto the OD4 bus, remote-controlled by
-        # PlayerCommand [9], reporting PlayerStatus [10]
+    if args.to_bus or args.stdout:
+        # cluon-replay mode: publish onto the OD4 bus and/or stdout,
+        # remote-controlled by PlayerCommand [9] (from the bus when playing
+        # to a bus, from framed envelopes on stdin otherwise — the
+        # reference tool's monitorSTDIN path), reporting PlayerStatus [10]
         from tpuslam.io.od4 import OD4Session
         from tpuslam.io.rec import Player, replay_to_bus
 
         async def run():
-            od4 = OD4Session(cid=args.cid)
-            await od4.start()
+            od4 = OD4Session(cid=args.cid) if args.to_bus else None
+            if od4:
+                await od4.start()
             try:
-                n = await replay_to_bus(Player(args.rec), od4,
-                                        paced=args.paced,
-                                        speedup=args.speedup)
-                print(f"[slamctl] replayed {n} envelopes onto cid "
-                      f"{args.cid}", file=sys.stderr)
+                n = await replay_to_bus(
+                    Player(args.rec), od4, paced=args.paced,
+                    speedup=args.speedup,
+                    stdout_stream=sys.stdout.buffer if args.stdout else None,
+                    command_stream=None if args.to_bus else sys.stdin.buffer)
+                print(f"[slamctl] replayed {n} envelopes", file=sys.stderr)
             finally:
-                await od4.stop()
+                if od4:
+                    await od4.stop()
 
         try:
             asyncio.run(run())
@@ -274,6 +279,10 @@ def main(argv=None):
     pp.add_argument("--to-bus", action="store_true",
                     help="publish onto the OD4 bus instead of the local "
                          "pipeline (cluon-replay; PlayerCommand-controlled)")
+    pp.add_argument("--stdout", action="store_true",
+                    help="serialize framed envelopes to stdout "
+                         "(cluon-replay --stdout; commands read from stdin "
+                         "when not also --to-bus)")
     pp.add_argument("--checkpoint")
     pp.add_argument("--png")
     pp.set_defaults(fn=cmd_replay)

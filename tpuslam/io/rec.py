@@ -130,38 +130,73 @@ class Player:
                 return
 
 
-async def replay_to_bus(player: Player, od4, paced: bool = True,
-                        speedup: float = 1.0, status_every: int = 10):
-    """Publish a recording onto an OD4 bus, remote-controlled over the bus.
+async def replay_to_bus(player: Player, od4=None, paced: bool = True,
+                        speedup: float = 1.0, status_every: int = 10,
+                        stdout_stream=None, command_stream=None):
+    """Publish a recording onto an OD4 bus and/or a byte stream,
+    remote-controlled like the cluon-replay tool (reference
+    src/cluon-complete-build.hpp:15863-16054):
 
-    The cluon-replay tool (reference src/cluon-complete-build.hpp:15863-16054):
-    listens for `PlayerCommand` [9] — command 1=play, 2=pause,
-    3=seekTo(ratio) (:16020-16033) — and reports `PlayerStatus` [10]:
-    state=1 while loading (:15939), state=2 with numberOfEntries once
-    playing (:15968-15970), then progress every `status_every` replayed
-    envelopes (the Player's statisticsCounter%10 cadence, :13600-13618).
-    While paused it idles at 100 ms ticks (:16050). Envelopes are
-    re-published verbatim (original timestamps), like od4->send(next.second).
+    - obeys `PlayerCommand` [9] — command 1=play, 2=pause, 3=seekTo(ratio)
+      (:16020-16033) — from the bus, or from framed envelopes on
+      `command_stream` (the tool's stdin-monitoring thread, :15912-15924;
+      like the reference, bus commands are ignored while a command stream
+      is monitored);
+    - reports `PlayerStatus` [10]: state=1 while loading (:15939), state=2
+      with numberOfEntries once playing (:15968-15970), then progress every
+      `status_every` replayed envelopes (the Player's statisticsCounter%10
+      cadence, :13600-13618);
+    - while paused it idles at 100 ms ticks (:16050);
+    - envelopes are re-published verbatim (original timestamps) to the bus
+      and/or serialized to `stdout_stream` (playBackToStdout, :15877).
     """
     import asyncio
+    import threading
+
+    from tpuslam.io import proto
 
     playing = True
     pending_seek: list[float] = []
 
     def on_command(env: M.Envelope):
         nonlocal playing
-        from tpuslam.io import proto
         pc = proto.decode(M.PlayerCommand, env.serializedData)
         if pc.command in (1, 2):
             playing = pc.command == 1
         elif pc.command == 3:
             pending_seek.append(pc.seekTo)
 
-    od4.data_trigger(M.PlayerCommand.ID, on_command)
+    if command_stream is not None:
+        def watch_stdin():
+            buf = b""
+            while True:
+                chunk = command_stream.read(64)
+                if not chunk:
+                    return
+                buf += chunk
+                while True:
+                    env, pos = E.extract_envelope(buf)
+                    if env is None:
+                        break
+                    buf = buf[pos:]
+                    if env.dataType == M.PlayerCommand.ID:
+                        on_command(env)
+
+        threading.Thread(target=watch_stdin, daemon=True).start()
+    elif od4 is not None:
+        od4.data_trigger(M.PlayerCommand.ID, on_command)
+
+    def emit(env: M.Envelope):
+        if od4 is not None:
+            od4.send_envelope(env)
+        if stdout_stream is not None:
+            stdout_stream.write(E.serialize_envelope(env))
+            stdout_stream.flush()
 
     def status(state: int, current: int):
-        od4.send(M.PlayerStatus(state=state, numberOfEntries=len(player),
-                                currentEntryForPlayback=current))
+        ps = M.PlayerStatus(state=state, numberOfEntries=len(player),
+                            currentEntryForPlayback=current)
+        emit(E.pack_message(ps, sample_us=int(time.time() * 1e6)))
 
     status(1, 0)  # loading
     status(2, 0)  # playback starts
@@ -176,7 +211,7 @@ async def replay_to_bus(player: Player, od4, paced: bool = True,
         env = player.next_envelope()
         if env is None:
             break
-        od4.send_envelope(env)
+        emit(env)
         replayed += 1
         if status_every and replayed % status_every == 0:
             status(2, replayed)
