@@ -19,6 +19,7 @@ Redesign vs the reference:
 """
 from __future__ import annotations
 
+import time as _time
 from typing import Callable, Optional
 
 import numpy as np
@@ -54,6 +55,7 @@ class Slam:
         self._frame_open = False
         self._frame_start_us = 0
         self._last_cone_us = 0
+        self._last_cone_wall = 0.0
         # odometry snapshot for the open frame: the reference samples
         # m_odometryData at the END of the gathering window (src/slam.cpp:
         # 304-307); in sample-time terms that is the latest odometry whose
@@ -141,6 +143,7 @@ class Slam:
                 sample_us - self._frame_start_us > self.cfg.gathering_time_ms * 1000:
             self._close_frame()
         self._last_cone_us = sample_us
+        self._last_cone_wall = _time.monotonic()
         if not self._frame_open:
             self._frame_open = True
             self._frame_start_us = sample_us
@@ -165,6 +168,16 @@ class Slam:
     def flush(self):
         """Close any pending frame (end of stream / timer liveness)."""
         if self._frame_open:
+            self._close_frame()
+
+    def flush_if_idle(self, idle_s: float):
+        """Close a pending frame only once no cone message has arrived for
+        `idle_s` wall-clock seconds. This is the live-bus analogue of the
+        reference's collector thread, which snapshots gatheringTimeMs AFTER
+        the frame's first message (src/slam.cpp:227-241) — an unconditional
+        timer flush would split frames still streaming in off the bus."""
+        if self._frame_open and \
+                _time.monotonic() - self._last_cone_wall >= idle_s:
             self._close_frame()
 
     # ------------------------------------------------------ frame processing

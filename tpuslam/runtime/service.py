@@ -128,7 +128,11 @@ class SlamService:
         try:
             while True:
                 await asyncio.sleep(self.cfg.gathering_time_ms / 1000.0)
-                self.slam.flush()
+                # idle-aware: only closes a frame once no cone message has
+                # arrived for a full gathering window (the reference snapshots
+                # gatheringTimeMs after the frame's FIRST message; a blind
+                # flush here would split frames still streaming off the bus)
+                self.slam.flush_if_idle(self.cfg.gathering_time_ms / 1000.0)
         except asyncio.CancelledError:
             pass
         finally:
