@@ -36,8 +36,33 @@ def build_scenario():
     return track, scen
 
 
+def _check_pallas_kernels_on_device():
+    """Validate the Pallas kernels on the real backend before benchmarking
+    (the unit suite runs them under the CPU interpreter; this is the one
+    place they execute on actual TPU hardware every round)."""
+    from tpuslam.ops.cholesky import cholesky_pallas
+    from tpuslam.ops.pallas_assoc import associate_pallas
+
+    rng = np.random.default_rng(0)
+    obs = jnp.asarray(rng.normal(0, 10, (64, 2)), jnp.float32)
+    obs_t = jnp.asarray(rng.integers(1, 4, 64), jnp.int32)
+    lm = jnp.asarray(rng.normal(0, 10, (512, 2)), jnp.float32)
+    lm_t = jnp.asarray(rng.integers(1, 4, 512), jnp.int32)
+    dev = associate_pallas(obs, obs_t, lm, lm_t, 1.44)
+    ref = associate_pallas(obs, obs_t, lm, lm_t, 1.44, interpret=True)
+    for a, b in zip(jax.tree.leaves(dev), jax.tree.leaves(ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    a = rng.normal(0, 1, (256, 256))
+    a = jnp.asarray(a @ a.T + 256 * np.eye(256), jnp.float32)
+    np.testing.assert_allclose(np.asarray(cholesky_pallas(a)),
+                               np.asarray(cholesky_pallas(a, interpret=True)),
+                               rtol=2e-4, atol=2e-4)
+
+
 def main():
     track, scen = build_scenario()
+    if jax.default_backend() == "tpu":
+        _check_pallas_kernels_on_device()
     t_frames = len(scen.times)
     cap = GraphCapacity(max_poses=1 << (t_frames - 1).bit_length(),
                         max_landmarks=256, max_obs=8192)
