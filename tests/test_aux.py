@@ -62,3 +62,42 @@ def test_scaling_harness_session_builder():
     g2 = gn.optimize(g, cfg)
     c1 = float(gn.chi2(g2, cfg))
     assert jnp.isfinite(c1) and c1 <= c0
+
+
+def test_od_configuration_parser():
+    """OpenDaVINCI configuration-file layer (SURVEY.md §5.6(b)): parse the
+    reference's actual usecase/configuration and resolve the attention
+    module's view with global < section < section:ID precedence."""
+    from tpuslam.runtime.odconfig import (attention_from_od_config,
+                                          module_view,
+                                          parse_od_configuration)
+
+    ref_path = "/root/reference/usecase/configuration"
+    import os
+    import pytest
+    if not os.path.exists(ref_path):
+        pytest.skip("reference usecase/configuration not available")
+    text = open(ref_path).read()
+    cfg = parse_od_configuration(text)
+    # comment stripping + stray `%RANSAC` markers ignored
+    assert cfg["global.buffer.numberOfMemorySegments"] == "4"
+    view = module_view(cfg, "logic-cfsd18-sensation-attention")
+    assert view["connectDistanceThreshold"] == "0.8"
+    assert view["senderStamp"] == "116"
+    # inherited global keys
+    assert view["buffer.memorySegmentSize"] == "2800000"
+
+    acfg, stamp = attention_from_od_config(text)
+    assert stamp == 116
+    assert acfg.connect_distance_threshold == 0.8
+    assert acfg.min_points == 2 and acfg.max_points == 80
+    assert acfg.ransac_iterations == 10
+    assert acfg.inlier_found_threshold == 80
+    assert acfg.dot_threshold == 0.3
+
+    # section:ID override wins over section
+    text2 = ("a.k = 1\n"
+             "a:7.k = 2\n"
+             "global.g = 9\n")
+    assert module_view(parse_od_configuration(text2), "a")["k"] == "1"
+    assert module_view(parse_od_configuration(text2), "a", 7)["k"] == "2"

@@ -121,3 +121,53 @@ def test_cli_sim_blocked_pipeline_matches_live(tmp_path, capsys):
     assert a["ate_published_m"] == b["ate_published_m"]
     assert a["loop_closed"] == b["loop_closed"]
     assert a["landmarks"] == b["landmarks"]
+
+
+def test_cli_replay_attention_od_config(tmp_path, capsys):
+    """slamctl replay --attention --od-config: raw VLP-16 point clouds from a
+    .rec run through the integrated cone detector configured by the
+    reference's OpenDaVINCI configuration format."""
+    import numpy as np
+
+    from tpuslam.geometry import wgs84
+    from tpuslam.io import messages as M
+    from tpuslam.io.rec import RecWriter
+    from tpuslam.runtime.config import SlamConfig
+    from tpuslam.sim.vlp16_sim import Vlp16SceneConfig, scene_to_point_cloud_reading
+
+    scfg = Vlp16SceneConfig(seed=11, points_per_cone=50)
+    cones_global = np.array([[8.0, 1.5], [11.0, -1.5], [14.0, 1.5],
+                             [17.0, -1.5], [20.0, 1.5]])
+    base = SlamConfig()
+    ref = np.array(base.gps_reference)
+    rec = str(tmp_path / "vlp.rec")
+    with RecWriter(rec) as w:
+        for t in range(5):
+            us = int(t * 0.5e6) + 1000
+            pose = np.array([2.0 * t, 0.0, 0.0])
+            latlon = wgs84.from_cartesian(ref, pose[:2])
+            w.write_message(
+                M.Geolocation(latitude=float(latlon[0]),
+                              longitude=float(latlon[1]), heading=0.0),
+                sample_us=us, sender_stamp=base.estimation_id)
+            lidar = pose[:2] + np.array([1.5, 0.0])
+            local = cones_global - lidar
+            w.write_message(scene_to_point_cloud_reading(
+                local[local[:, 0] > 1.0], scfg), sample_us=us,
+                sender_stamp=116)
+
+    # attention params via the OpenDaVINCI configuration layer; the shipped
+    # inlierFoundTreshold=80 works against this synthetic density, and
+    # senderStamp=116 matches the reference usecase
+    odconf = tmp_path / "configuration"
+    odconf.write_text(
+        "logic-cfsd18-sensation-attention.inlierFoundTreshold = 300\n"
+        "logic-cfsd18-sensation-attention.numberOfIterations = 10\n"
+        "logic-cfsd18-sensation-attention.senderStamp = 116 # lidar\n")
+
+    rc = main(["replay", rec, "--attention", "--od-config", str(odconf),
+               "--timeBetweenKeyframes", "50"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["counters"]["point_cloud_messages"] == 5
+    assert 3 <= out["gauges"]["landmarks"] <= len(cones_global) + 1

@@ -63,6 +63,21 @@ def _config_from_args(args):
     return cfg
 
 
+def _attention_from_args(args):
+    """Integrated lidar front-end options: --attention [--od-config FILE]
+    [--lidarId N]. Returns (attention_cfg|None, lidar_sender_id|None)."""
+    if not getattr(args, "attention", False):
+        return None, None
+    from tpuslam.perception.attention import AttentionConfig
+    acfg, stamp = AttentionConfig(), None
+    if getattr(args, "od_config", None):
+        from tpuslam.runtime.odconfig import attention_from_od_config
+        acfg, stamp = attention_from_od_config(open(args.od_config).read())
+    if getattr(args, "lidarId", None) is not None:
+        stamp = args.lidarId
+    return acfg, stamp
+
+
 def _maybe_viewer(args, svc):
     """The reference viewer build's render thread (slamctl --viz-png)."""
     if not getattr(args, "viz_png", None):
@@ -77,7 +92,9 @@ def cmd_run(args):
     from tpuslam.runtime.service import SlamService
     cfg = _config_from_args(args)
     od4 = OD4Session(cid=cfg.cid)
-    svc = SlamService(cfg, od4=od4)
+    acfg, lidar_id = _attention_from_args(args)
+    svc = SlamService(cfg, od4=od4, attention_cfg=acfg,
+                      lidar_sender_id=lidar_id)
     print(f"[slamctl] joining OD4 session {cfg.cid} "
           f"(group 225.0.0.{cfg.cid}:12175)", file=sys.stderr)
     viewer = _maybe_viewer(args, svc)
@@ -123,7 +140,8 @@ def cmd_replay(args):
         return 0
     from tpuslam.runtime.service import SlamService
     cfg = _config_from_args(args)
-    svc = SlamService(cfg)
+    acfg, lidar_id = _attention_from_args(args)
+    svc = SlamService(cfg, attention_cfg=acfg, lidar_sender_id=lidar_id)
     viewer = _maybe_viewer(args, svc)
     try:
         svc.run_replay(args.rec, paced=args.paced, speedup=args.speedup)
@@ -267,11 +285,26 @@ def main(argv=None):
                                 description="TPU-native landmark SLAM")
     sub = p.add_subparsers(dest="cmd", required=True)
 
+    def add_attention_flags(sp):
+        sp.add_argument("--attention", action="store_true",
+                        help="integrated lidar front-end: consume raw "
+                             "PointCloudReading [49] through the cone "
+                             "detector (the reference's sibling "
+                             "cfsd18-sensation-attention service)")
+        sp.add_argument("--od-config", default=None, metavar="FILE",
+                        help="OpenDaVINCI configuration file; reads the "
+                             "logic-cfsd18-sensation-attention section "
+                             "(reference usecase/configuration)")
+        sp.add_argument("--lidarId", type=int, default=None,
+                        help="accept point clouds only from this senderStamp")
+
     pr = sub.add_parser("run", help="live OD4 microservice")
+    add_attention_flags(pr)
     _add_reference_flags(pr)
     pr.set_defaults(fn=cmd_run)
 
     pp = sub.add_parser("replay", help="replay a .rec recording")
+    add_attention_flags(pp)
     _add_reference_flags(pp)
     pp.add_argument("rec")
     pp.add_argument("--paced", action="store_true")

@@ -122,7 +122,10 @@ class SlamService:
         pending cone frames for liveness (replaces the reference's detached
         busy-wait collector threads, src/slam.cpp:94-96, 227-233)."""
         assert self.od4 is not None, "run_live needs an OD4Session"
-        for dt in CONE_TYPES + POSE_TYPES + SPLIT_POSE_TYPES + YAW_TYPES:
+        types = CONE_TYPES + POSE_TYPES + SPLIT_POSE_TYPES + YAW_TYPES
+        if self.attention_cfg is not None:
+            types = types + POINT_CLOUD_TYPES
+        for dt in types:
             self.od4.data_trigger(dt, self.dispatch_envelope)
         await self.od4.start()
         try:
