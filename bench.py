@@ -225,6 +225,37 @@ def main():
 
     fps_improved_fast = t_frames / timed_slope(multi_if, 2, 8)
 
+    # VLP-16 front-end throughput (BASELINE config 4): raw sweeps through
+    # the on-device cone detector (RANSAC ground plane + label-propagation
+    # clustering). The physical sensor spins at 10 Hz, so this is the
+    # margin available for multi-lidar / faster-than-real-time replay.
+    from tpuslam.perception import AttentionConfig, detect_cones
+    from tpuslam.sim.vlp16_sim import Vlp16SceneConfig, render_scene
+    vcfg = Vlp16SceneConfig(seed=3, points_per_cone=60)
+    rngv = np.random.default_rng(3)
+    cone_xy = rngv.uniform(-12, 12, (24, 2)).astype(np.float32)
+    pts_np, _ = render_scene(cone_xy, np.ones(len(cone_xy), np.int32), vcfg)
+    acfg = AttentionConfig(sensor_height=vcfg.sensor_height,
+                           ground_layer_z=-vcfg.sensor_height)
+    cap_pts = 4096
+    pts = np.zeros((cap_pts, 3), np.float32)
+    nv = min(len(pts_np), cap_pts)
+    pts[:nv] = pts_np[:nv]
+    vmask = np.arange(cap_pts) < nv
+    pts_j, vmask_j = jnp.asarray(pts), jnp.asarray(vmask)
+
+    def multi_att(k):
+        @jax.jit
+        def run():
+            def one(_, i):
+                _c, ok, n = detect_cones(pts_j, vmask_j, acfg, seed=0)
+                return (), n
+            _, ys = jax.lax.scan(one, (), jnp.arange(k))
+            return ys
+        return run
+
+    sweeps_per_sec = 1.0 / timed_slope(multi_att, 8, 32)
+
     # ATE parity on the other BASELINE configs (skidpad / acceleration):
     # published trajectory must match the reference-semantics CPU golden
     extra_ate = {}
@@ -282,6 +313,8 @@ def main():
         "baseline_ate_m": round(float(gold_ate), 4),
         "loop_closed": closed,
         "frames": t_frames,
+        "vlp16_sweeps_per_sec_per_chip": round(sweeps_per_sec, 1),
+        "vlp16_sensor_rate_hz": 10.0,
         "device": str(jax.devices()[0]),
         **extra_ate,
     }))

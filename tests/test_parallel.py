@@ -219,3 +219,48 @@ def test_fleet_blocked_matches_unsharded():
             np.testing.assert_allclose(a, b, atol=2e-4, rtol=0)
         else:
             np.testing.assert_array_equal(a, b)
+
+
+def test_map_sharded_association_matches_single():
+    """Map-block model parallelism (SURVEY.md §2.4): association against a
+    landmark map sharded over the 8-device mesh is bit-identical to the
+    single-device associate() on the gathered map, for all three policies
+    and the localizer's signed-type quirk."""
+    import numpy as np
+
+    from tpuslam.ops.association import associate
+    from tpuslam.parallel import associate_sharded, make_slam_mesh
+
+    rng = np.random.default_rng(7)
+    N, M = 48, 512  # M divisible by 8 shards
+    obs_xy = jnp.asarray(rng.normal(0, 20, (N, 2)), jnp.float32)
+    obs_type = jnp.asarray(rng.integers(1, 5, N), jnp.int32)
+    obs_valid = jnp.asarray(rng.random(N) < 0.85)
+    lm_xy = jnp.asarray(rng.normal(0, 20, (M, 2)), jnp.float32)
+    lm_type = jnp.asarray(rng.integers(1, 5, M), jnp.int32)
+    lm_valid = jnp.asarray(rng.random(M) < 0.9)
+    cov = rng.normal(0, 0.3, (M, 2, 2))
+    cov = cov @ cov.transpose(0, 2, 1) + np.eye(2)[None]
+    cov_inv = jnp.asarray(np.linalg.inv(cov), jnp.float32)
+
+    mesh = make_slam_mesh(n_sessions=1, n_edge_shards=8)
+    for mode, gate, ci, bug in (("first", 3.0, None, False),
+                                ("first", 3.0, None, True),
+                                ("nearest", 3.0, None, False),
+                                ("mahalanobis", 9.21, cov_inv, False)):
+        want = associate(obs_xy, obs_type, obs_valid, lm_xy, lm_type,
+                         lm_valid, gate, mode=mode, lm_cov_inv=ci,
+                         type_signed_bug=bug)
+        got = associate_sharded(obs_xy, obs_type, obs_valid, lm_xy, lm_type,
+                                lm_valid, gate, mesh, mode=mode,
+                                lm_cov_inv=ci, type_signed_bug=bug)
+        np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(want[1]),
+                                      err_msg=mode)
+        m = np.asarray(want[1])
+        np.testing.assert_array_equal(np.asarray(got[0])[m],
+                                      np.asarray(want[0])[m], err_msg=mode)
+        # decisions (idx, matched) are exact; the cost float can differ
+        # by 1 ulp because an [N, M/8] block fuses differently than [N, M]
+        np.testing.assert_allclose(np.asarray(got[2])[m],
+                                   np.asarray(want[2])[m], rtol=1e-6,
+                                   err_msg=mode)

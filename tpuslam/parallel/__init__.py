@@ -7,3 +7,4 @@ from tpuslam.parallel.distributed import (  # noqa: F401
 from tpuslam.parallel.multisession import multisession_optimize, stack_graphs  # noqa: F401
 from tpuslam.parallel.chain import chain_optimize, partition_edges_by_pose_block  # noqa: F401
 from tpuslam.parallel.fleet import run_fleet_blocked  # noqa: F401
+from tpuslam.parallel.map_blocks import associate_sharded  # noqa: F401
