@@ -111,6 +111,57 @@ def test_odvd_parser_matches_hand_specs():
         assert got == want, (cls, got, want)
 
 
+def test_msc_codegen_wire_identical(tmp_path):
+    """slamctl msc output (cluon-msc equivalent): the generated module's
+    classes must be byte-identical on the wire to the hand-written ones."""
+    import importlib.util
+
+    from tpuslam.io.msc import generate_python_module
+
+    out = tmp_path / "gen_messages.py"
+    n = generate_python_module(ODVD, str(out))
+    assert n > 50
+    spec = importlib.util.spec_from_file_location("gen_messages", out)
+    gen = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gen)
+
+    cases = [
+        (M.ObjectDirection(objectId=7, azimuthAngle=12.5, zenithAngle=-3.25),
+         gen.BY_ID[M.ObjectDirection.ID](objectId=7, azimuthAngle=12.5,
+                                         zenithAngle=-3.25)),
+        (M.Geolocation(latitude=57.71, longitude=11.94, heading=1.25),
+         gen.BY_ID[M.Geolocation.ID](latitude=57.71, longitude=11.94,
+                                     heading=1.25)),
+        (M.GeodeticWgs84Reading(latitude=57.0, longitude=-11.0),
+         gen.BY_ID[M.GeodeticWgs84Reading.ID](latitude=57.0, longitude=-11.0)),
+        (M.AngularVelocityReading(angularVelocityZ=0.5),
+         gen.BY_ID[M.AngularVelocityReading.ID](angularVelocityZ=0.5)),
+    ]
+    for hand, g in cases:
+        assert proto.encode(g) == proto.encode(hand), type(hand)
+        back = proto.decode(type(g), proto.encode(hand))
+        assert back == g
+
+    # namespace tree access + registry install (non-destructive)
+    assert gen.opendlv.proxy.GeodeticWgs84Reading.ID == 19
+    reg = gen.register_all(registry={})
+    assert reg[M.ObjectDirection.ID].LONG_NAME == M.ObjectDirection.LONG_NAME
+    live = gen.register_all()
+    assert live[M.ObjectDirection.ID] is M.ObjectDirection  # hand class wins
+
+
+def test_msc_cli(tmp_path, capsys):
+    from tpuslam.cli.main import main as cli_main
+
+    out = tmp_path / "gen.py"
+    assert cli_main(["msc", ODVD, "--out", str(out)]) == 0
+    assert "message classes" in capsys.readouterr().out
+    assert out.read_text().startswith('"""Generated by slamctl msc')
+    # stdout mode emits the module source directly
+    assert cli_main(["msc", ODVD]) == 0
+    assert "class ObjectDirection:" in capsys.readouterr().out
+
+
 def test_odvd_generated_classes_roundtrip():
     classes = load_standard_message_set(ODVD, register=False)
     kin = classes["opendlv.logic.sensation.Equilibrioception"]

@@ -280,6 +280,18 @@ def cmd_viz(args):
     return 0
 
 
+def cmd_msc(args):
+    from tpuslam.io.msc import generate_python_module, generate_python_source
+    if args.out:
+        n = generate_python_module(args.odvd, args.out)
+        print(f"[slamctl] {args.odvd}: {n} message classes -> {args.out}")
+    else:
+        with open(args.odvd) as f:
+            sys.stdout.write(generate_python_source(f.read(),
+                                                    source_name=args.odvd))
+    return 0
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="slamctl",
                                 description="TPU-native landmark SLAM")
@@ -353,10 +365,17 @@ def main(argv=None):
     pv.add_argument("--out", default="slam_map.png")
     pv.set_defaults(fn=cmd_viz)
 
+    pg = sub.add_parser("msc", help=".odvd -> Python message classes "
+                                    "(cluon-msc)")
+    pg.add_argument("odvd")
+    pg.add_argument("--out", default=None,
+                    help="output .py path (default: stdout)")
+    pg.set_defaults(fn=cmd_msc)
+
     p.add_argument("--platform", choices=["cpu", "tpu"], default=None,
                    help="force the JAX backend (some environments register a "
                         "TPU plugin that ignores JAX_PLATFORMS)")
-    for sp in (pr, pp, ps, pb, pe, pm, pv):
+    for sp in (pr, pp, ps, pb, pe, pm, pv, pg):
         # SUPPRESS: a subcommand without the flag must not clobber a
         # pre-subcommand --platform (argparse overwrites parent defaults)
         sp.add_argument("--platform", choices=["cpu", "tpu"],
