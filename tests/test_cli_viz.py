@@ -55,6 +55,51 @@ def test_cli_export(tmp_path, capsys):
     assert len(body) > 2
 
 
+def test_cli_record_roundtrips_bus(tmp_path):
+    """slamctl record (the reference session's logger service): envelopes
+    published on the bus land in a Player-compatible .rec file."""
+    import asyncio
+    import threading
+    import time
+
+    from tpuslam.io import envelope as E
+    from tpuslam.io import messages as M
+    from tpuslam.io.od4 import OD4Session
+    from tpuslam.io.rec import read_rec
+
+    out = str(tmp_path / "bus.rec")
+    t = threading.Thread(
+        target=main, args=(["record", out, "--cid", "198",
+                            "--duration", "2.5"],), daemon=True)
+    t.start()
+
+    async def publish():
+        tx = OD4Session(cid=198)
+        try:
+            await tx.start()
+        except OSError:
+            return False
+        for i in range(12):
+            tx.send(M.ObjectType(objectId=i, type=2), sample_us=1000 + i,
+                    sender_stamp=118)
+            await asyncio.sleep(0.1)
+        await tx.stop()
+        return True
+
+    time.sleep(0.6)  # let the recorder join the group first
+    sent = asyncio.run(publish())
+    t.join(timeout=10)
+    assert not t.is_alive()
+    if not sent:
+        pytest.skip("multicast sockets unavailable in sandbox")
+    envs = [e for e in read_rec(out) if e.dataType == M.ObjectType.ID]
+    if not envs:
+        pytest.skip("multicast loopback not routed in this sandbox")
+    ids = sorted(E.unpack_message(e).objectId for e in envs)
+    assert ids == sorted(set(ids))  # no duplicates
+    assert all(E.unpack_message(e).type == 2 for e in envs)
+
+
 def test_live_viewer_renders_and_follows(tmp_path):
     """LiveViewer — the reference viewer-thread equivalent
     (viewerbuild/src/viewer.cpp:15-60): renders the current state to a PNG

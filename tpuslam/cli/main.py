@@ -271,6 +271,44 @@ def cmd_monitor(args):
     return 0
 
 
+def cmd_record(args):
+    """Record the OD4 bus to a .rec file (the reference session's
+    opendlv-logger service, reference usecase/docker-compose.yml:37-41;
+    output is Player/cluon-replay compatible)."""
+    from tpuslam.io.od4 import OD4Session
+    from tpuslam.io.rec import RecWriter
+
+    n = 0
+
+    async def run():
+        nonlocal n
+        od4 = OD4Session(cid=args.cid)
+        with RecWriter(args.out) as w:
+            def on_env(env):
+                nonlocal n
+                if args.type is not None and env.dataType != args.type:
+                    return
+                w.write(env)
+                n += 1
+            od4.catch_all(on_env)
+            await od4.start()
+            try:
+                if args.duration:
+                    await asyncio.sleep(args.duration)
+                else:
+                    while True:
+                        await asyncio.sleep(3600)
+            finally:
+                await od4.stop()
+
+    try:
+        asyncio.run(run())
+    except KeyboardInterrupt:
+        pass
+    print(f"[slamctl] recorded {n} envelopes -> {args.out}")
+    return 0
+
+
 def cmd_viz(args):
     from tpuslam.runtime.checkpoint import load_checkpoint
     from tpuslam.viz import save_state_png
@@ -365,6 +403,16 @@ def main(argv=None):
     pv.add_argument("--out", default="slam_map.png")
     pv.set_defaults(fn=cmd_viz)
 
+    pc = sub.add_parser("record", help="record the bus to a .rec file "
+                                       "(session logger)")
+    pc.add_argument("out")
+    pc.add_argument("--cid", type=int, default=111)
+    pc.add_argument("--type", type=int, default=None,
+                    help="record only this message id")
+    pc.add_argument("--duration", type=float, default=None,
+                    help="stop after N seconds (default: until Ctrl-C)")
+    pc.set_defaults(fn=cmd_record)
+
     pg = sub.add_parser("msc", help=".odvd -> Python message classes "
                                     "(cluon-msc)")
     pg.add_argument("odvd")
@@ -375,7 +423,7 @@ def main(argv=None):
     p.add_argument("--platform", choices=["cpu", "tpu"], default=None,
                    help="force the JAX backend (some environments register a "
                         "TPU plugin that ignores JAX_PLATFORMS)")
-    for sp in (pr, pp, ps, pb, pe, pm, pv, pg):
+    for sp in (pr, pp, ps, pb, pe, pm, pv, pg, pc):
         # SUPPRESS: a subcommand without the flag must not clobber a
         # pre-subcommand --platform (argparse overwrites parent defaults)
         sp.add_argument("--platform", choices=["cpu", "tpu"],
