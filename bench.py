@@ -13,6 +13,7 @@ frame-gathering busy-wait (reference src/slam.cpp:227-233); we report the
 measured compute-bound baseline and that design bound separately.
 """
 import json
+import sys
 import time
 
 import numpy as np
@@ -59,9 +60,26 @@ def _check_pallas_kernels_on_device():
                                rtol=2e-4, atol=2e-4)
 
 
+def _note(msg):
+    """Progress marker on stderr (stdout carries only the final JSON line);
+    if the TPU tunnel stalls mid-run, the last marker says where."""
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def _section(extras, name, fn):
+    """Run an optional bench section; a failure records an error key instead
+    of killing the primary metric."""
+    _note(name)
+    try:
+        extras.update(fn())
+    except Exception as e:  # noqa: BLE001 - report, don't die
+        extras[f"error_{name}"] = repr(e)[:200]
+
+
 def main():
     track, scen = build_scenario()
     if jax.default_backend() == "tpu":
+        _note("pallas kernel device validation")
         _check_pallas_kernels_on_device()
     t_frames = len(scen.times)
     cap = GraphCapacity(max_poses=1 << (t_frames - 1).bit_length(),
@@ -87,21 +105,30 @@ def main():
     est = np.asarray(outs.pose)
     ate_m = ate(est[:, :2], scen.gt_poses[:t_frames, :2])
 
+    extras = {}
+
     # improved (non-compat) pipeline: GPS/heading priors + calibrated weights
     # + refinement — the "beats the reference" configuration
-    from tpuslam.backend import gauss_newton as gn
-    from tpuslam.frontend.keyframe import _gn_config
-    cfg_improved = SlamConfig.improved(capacity=cap)
-    st2 = initial_state(cap)
-    st2, outs2 = run_sequence(st2, obs, valid, poses, cfg_improved)
-    jax.block_until_ready(st2.graph.poses)
-    ate_improved = ate(np.asarray(outs2.pose)[:, :2], scen.gt_poses[:t_frames, :2])
-    g2 = gn.optimize(st2.graph, _gn_config(cfg_improved))
-    ate_improved_final = ate(np.asarray(g2.poses)[:t_frames, :2],
-                             scen.gt_poses[:t_frames, :2])
-    lm2 = np.asarray(g2.lm_xy)[:int(g2.n_landmarks)]
-    map_err_improved = float(np.median(np.linalg.norm(
-        lm2[:, None, :] - track.cones_xy[None], axis=-1).min(axis=1)))
+    def improved_section():
+        from tpuslam.backend import gauss_newton as gn
+        from tpuslam.frontend.keyframe import _gn_config
+        cfg_improved = SlamConfig.improved(capacity=cap)
+        st2 = initial_state(cap)
+        st2, outs2 = run_sequence(st2, obs, valid, poses, cfg_improved)
+        jax.block_until_ready(st2.graph.poses)
+        ate_improved = ate(np.asarray(outs2.pose)[:, :2],
+                           scen.gt_poses[:t_frames, :2])
+        g2 = gn.optimize(st2.graph, _gn_config(cfg_improved))
+        ate_improved_final = ate(np.asarray(g2.poses)[:t_frames, :2],
+                                 scen.gt_poses[:t_frames, :2])
+        lm2 = np.asarray(g2.lm_xy)[:int(g2.n_landmarks)]
+        map_err_improved = float(np.median(np.linalg.norm(
+            lm2[:, None, :] - track.cones_xy[None], axis=-1).min(axis=1)))
+        return {"ate_improved_online_m": round(float(ate_improved), 4),
+                "ate_improved_final_m": round(float(ate_improved_final), 4),
+                "map_error_improved_m": round(map_err_improved, 4)}
+
+    _section(extras, "improved_mode", improved_section)
 
     # timed passes: the blocked pipeline (frontend/blocked.py), K whole
     # passes per dispatch. On the remote-tunneled chip a dispatch costs a
@@ -137,6 +164,7 @@ def main():
             t2 = min(t2, time.perf_counter() - t0)
         return (t2 - t1) / (k2 - k1)
 
+    _note("primary: blocked-pipeline throughput slope")
     sec_per_pass = timed_slope(multi_pass, 2, 8)
     fps_tpu = t_frames / sec_per_pass
 
@@ -144,143 +172,176 @@ def main():
     # per-frame run_sequence scan the service drives one keyframe at a
     # time) — the number that compares against the reference's 10-20 ms
     # real-time frame budget (gatheringTimeMs)
-    def multi_seq(k):
-        @jax.jit
-        def run():
-            def one(_, __):
-                st = init_state(cap)
-                st, _o = run_sequence.__wrapped__(st, obs, valid, poses, cfg)
-                return (), st.graph.n_poses
-            _, ys = jax.lax.scan(one, (), None, length=k)
-            return ys
-        return run
+    def online_latency_section():
+        def multi_seq(k):
+            @jax.jit
+            def run():
+                def one(_, __):
+                    st = init_state(cap)
+                    st, _o = run_sequence.__wrapped__(st, obs, valid, poses,
+                                                      cfg)
+                    return (), st.graph.n_poses
+                _, ys = jax.lax.scan(one, (), None, length=k)
+                return ys
+            return run
+        us = timed_slope(multi_seq, 1, 3) / t_frames * 1e6
+        return {"online_keyframe_latency_us": round(us, 1)}
 
-    online_latency_us = timed_slope(multi_seq, 1, 3) / t_frames * 1e6
+    _section(extras, "online_latency", online_latency_section)
 
     # batched multi-session throughput on the same chip: the blocked core
     # vmapped over S independent sessions — the single-chip half of
     # "multi-session pod-scale mapping". Pose capacity sized to the lap
     # (384 >= t_frames) so the batched full-capacity Schur/Cholesky tracks
     # the real problem, not padding.
-    from tpuslam.parallel.batch import initial_states
     n_sess = 16
-    scens_b = [simulate(trackdrive(seed=11), SimConfig(
-        laps=1.4, keyframe_dt=0.1, speed=8.0, max_range=20.0, seed=20 + s))
-        for s in range(n_sess)]
-    t_b = min(t_frames, *(len(sc.times) for sc in scens_b))
-    cap_b = GraphCapacity(max_poses=max(384, t_b), max_landmarks=256,
-                          max_obs=4096)
-    cfg_b = SlamConfig(capacity=cap_b)
-    obs_b = jnp.stack([jnp.asarray(sc.obs[:t_b], jnp.float32) for sc in scens_b])
-    valid_b = jnp.stack([jnp.asarray(sc.obs_valid[:t_b]) for sc in scens_b])
-    poses_b = jnp.stack([jnp.asarray(sc.odom_poses[:t_b], jnp.float32)
-                         for sc in scens_b])
-    pad_b = (-t_b) % 16
-    if pad_b:
-        far = jnp.full((n_sess, pad_b, 3), 2.0 * cfg_b.gps_outlier_bound + 1.0,
-                       jnp.float32)
-        obs_b = jnp.concatenate(
-            [obs_b, jnp.zeros((n_sess, pad_b) + obs_b.shape[2:],
-                              obs_b.dtype)], 1)
-        valid_b = jnp.concatenate(
-            [valid_b, jnp.zeros((n_sess, pad_b) + valid_b.shape[2:], bool)], 1)
-        poses_b = jnp.concatenate([poses_b, far], 1)
 
-    def multi_batched(k):
-        @jax.jit
-        def run():
-            def one(_, __):
-                sts = initial_states(cap_b, n_sess)
-                sts, _o, done = BL.blocked_core_batched.__wrapped__(
-                    sts, obs_b, valid_b, poses_b, cfg_b, 16)
-                return (), sts.graph.n_poses[0] + jnp.min(done)
-            _, ys = jax.lax.scan(one, (), None, length=k)
-            return ys
-        return run
+    def batched_section():
+        from tpuslam.parallel.batch import initial_states
+        scens_b = [simulate(trackdrive(seed=11), SimConfig(
+            laps=1.4, keyframe_dt=0.1, speed=8.0, max_range=20.0, seed=20 + s))
+            for s in range(n_sess)]
+        t_b = min(t_frames, *(len(sc.times) for sc in scens_b))
+        cap_b = GraphCapacity(max_poses=max(384, t_b), max_landmarks=256,
+                              max_obs=4096)
+        cfg_b = SlamConfig(capacity=cap_b)
+        obs_b = jnp.stack([jnp.asarray(sc.obs[:t_b], jnp.float32)
+                           for sc in scens_b])
+        valid_b = jnp.stack([jnp.asarray(sc.obs_valid[:t_b])
+                             for sc in scens_b])
+        poses_b = jnp.stack([jnp.asarray(sc.odom_poses[:t_b], jnp.float32)
+                             for sc in scens_b])
+        pad_b = (-t_b) % 16
+        if pad_b:
+            far = jnp.full((n_sess, pad_b, 3),
+                           2.0 * cfg_b.gps_outlier_bound + 1.0, jnp.float32)
+            obs_b2 = jnp.concatenate(
+                [obs_b, jnp.zeros((n_sess, pad_b) + obs_b.shape[2:],
+                                  obs_b.dtype)], 1)
+            valid_b2 = jnp.concatenate(
+                [valid_b, jnp.zeros((n_sess, pad_b) + valid_b.shape[2:],
+                                    bool)], 1)
+            poses_b2 = jnp.concatenate([poses_b, far], 1)
+        else:
+            obs_b2, valid_b2, poses_b2 = obs_b, valid_b, poses_b
 
-    sec_per_bpass = timed_slope(multi_batched, 1, 3)
-    fps_batched = n_sess * t_b / sec_per_bpass
+        def multi_batched(k):
+            @jax.jit
+            def run():
+                def one(_, __):
+                    sts = initial_states(cap_b, n_sess)
+                    sts, _o, done = BL.blocked_core_batched.__wrapped__(
+                        sts, obs_b2, valid_b2, poses_b2, cfg_b, 16)
+                    return (), sts.graph.n_poses[0] + jnp.min(done)
+                _, ys = jax.lax.scan(one, (), None, length=k)
+                return ys
+            return run
+
+        fps_batched = n_sess * t_b / timed_slope(multi_batched, 1, 3)
+        return {"batched_frames_per_sec_per_chip": round(fps_batched, 2)}
+
+    _section(extras, "batched_sessions", batched_section)
 
     # improved-fast: the blocked-compatible accuracy configuration
     # (GPS/heading priors + nearest association + localizer refine +
     # closure GN; no periodic GN) — beats the reference's accuracy at
     # blocked-pipeline speed (bit-exact vs run_sequence on this config)
-    cfg_if = SlamConfig.improved(capacity=cap, periodic_gn_every=0)
-    st_if, outs_if = run_sequence_blocked(initial_state(cap), obs, valid,
-                                          poses, cfg_if, block=16)
-    jax.block_until_ready(st_if.graph.poses)
-    ate_if = ate(np.asarray(outs_if.pose)[:, :2], scen.gt_poses[:t_frames, :2])
+    def improved_fast_section():
+        cfg_if = SlamConfig.improved(capacity=cap, periodic_gn_every=0)
+        st_if, outs_if = run_sequence_blocked(initial_state(cap), obs, valid,
+                                              poses, cfg_if, block=16)
+        jax.block_until_ready(st_if.graph.poses)
+        ate_if = ate(np.asarray(outs_if.pose)[:, :2],
+                     scen.gt_poses[:t_frames, :2])
 
-    def multi_if(k):
-        @jax.jit
-        def run():
-            def one(_, __):
-                st = init_state(cap)
-                st, _o, done = BL.blocked_core.__wrapped__(
-                    st, obs_p, valid_p, pose_p, cfg_if, 16)
-                return (), st.graph.n_poses + done
-            _, ys = jax.lax.scan(one, (), None, length=k)
-            return ys
-        return run
+        def multi_if(k):
+            @jax.jit
+            def run():
+                def one(_, __):
+                    st = init_state(cap)
+                    st, _o, done = BL.blocked_core.__wrapped__(
+                        st, obs_p, valid_p, pose_p, cfg_if, 16)
+                    return (), st.graph.n_poses + done
+                _, ys = jax.lax.scan(one, (), None, length=k)
+                return ys
+            return run
 
-    fps_improved_fast = t_frames / timed_slope(multi_if, 2, 8)
+        fps_if = t_frames / timed_slope(multi_if, 2, 8)
+        return {"improved_fast_frames_per_sec_per_chip": round(fps_if, 2),
+                "ate_improved_fast_online_m": round(float(ate_if), 4)}
+
+    _section(extras, "improved_fast", improved_fast_section)
 
     # VLP-16 front-end throughput (BASELINE config 4): raw sweeps through
     # the on-device cone detector (RANSAC ground plane + label-propagation
     # clustering). The physical sensor spins at 10 Hz, so this is the
     # margin available for multi-lidar / faster-than-real-time replay.
-    from tpuslam.perception import AttentionConfig, detect_cones
-    from tpuslam.sim.vlp16_sim import Vlp16SceneConfig, render_scene
-    vcfg = Vlp16SceneConfig(seed=3, points_per_cone=60)
-    rngv = np.random.default_rng(3)
-    cone_xy = rngv.uniform(-12, 12, (24, 2)).astype(np.float32)
-    pts_np, _ = render_scene(cone_xy, np.ones(len(cone_xy), np.int32), vcfg)
-    acfg = AttentionConfig(sensor_height=vcfg.sensor_height,
-                           ground_layer_z=-vcfg.sensor_height)
-    cap_pts = 4096
-    pts = np.zeros((cap_pts, 3), np.float32)
-    nv = min(len(pts_np), cap_pts)
-    pts[:nv] = pts_np[:nv]
-    vmask = np.arange(cap_pts) < nv
-    pts_j, vmask_j = jnp.asarray(pts), jnp.asarray(vmask)
+    def vlp16_section():
+        from tpuslam.perception import AttentionConfig, detect_cones
+        from tpuslam.sim.vlp16_sim import Vlp16SceneConfig, render_scene
+        vcfg = Vlp16SceneConfig(seed=3, points_per_cone=60)
+        rngv = np.random.default_rng(3)
+        cone_xy = rngv.uniform(-12, 12, (24, 2)).astype(np.float32)
+        pts_np, _ = render_scene(cone_xy, np.ones(len(cone_xy), np.int32),
+                                 vcfg)
+        acfg = AttentionConfig(sensor_height=vcfg.sensor_height,
+                               ground_layer_z=-vcfg.sensor_height)
+        cap_pts = 4096
+        pts = np.zeros((cap_pts, 3), np.float32)
+        nv = min(len(pts_np), cap_pts)
+        pts[:nv] = pts_np[:nv]
+        vmask = np.arange(cap_pts) < nv
+        pts_j, vmask_j = jnp.asarray(pts), jnp.asarray(vmask)
 
-    def multi_att(k):
-        @jax.jit
-        def run():
-            def one(_, i):
-                _c, ok, n = detect_cones(pts_j, vmask_j, acfg, seed=0)
-                return (), n
-            _, ys = jax.lax.scan(one, (), jnp.arange(k))
-            return ys
-        return run
+        def multi_att(k):
+            @jax.jit
+            def run():
+                def one(_, i):
+                    _c, ok, n = detect_cones(pts_j, vmask_j, acfg, seed=0)
+                    return (), n
+                _, ys = jax.lax.scan(one, (), jnp.arange(k))
+                return ys
+            return run
 
-    sweeps_per_sec = 1.0 / timed_slope(multi_att, 8, 32)
+        sweeps = 1.0 / timed_slope(multi_att, 8, 32)
+        return {"vlp16_sweeps_per_sec_per_chip": round(sweeps, 1),
+                "vlp16_sensor_rate_hz": 10.0}
+
+    _section(extras, "vlp16_frontend", vlp16_section)
 
     # ATE parity on the other BASELINE configs (skidpad / acceleration):
     # published trajectory must match the reference-semantics CPU golden
-    extra_ate = {}
-    from tpuslam.sim import acceleration, skidpad
-    # distinct seeds/cadence per config: odometry noise is additive and
-    # track-independent in the simulator, so identical seeds would make the
-    # two configs report bit-identical ATE (uninformative)
-    for name, tk, laps, seed in (("skidpad", skidpad(), 1.3, 5),
-                                 ("acceleration", acceleration(), 1.0, 6)):
-        sc = simulate(tk, SimConfig(laps=laps, keyframe_dt=0.25, seed=seed))
-        tt = len(sc.times)
-        cap2 = GraphCapacity(max_poses=max(64, 1 << (tt - 1).bit_length()),
-                             max_landmarks=128, max_obs=4096)
-        st2b, outs2b = run_sequence(
-            initial_state(cap2), jnp.asarray(sc.obs, jnp.float32),
-            jnp.asarray(sc.obs_valid), jnp.asarray(sc.odom_poses, jnp.float32),
-            SlamConfig(capacity=cap2))
-        gold2 = GoldenSlam()
-        gold2.run_scenario(sc)
-        extra_ate[f"ate_{name}_m"] = round(float(ate(
-            np.asarray(outs2b.pose)[:, :2], sc.gt_poses[:tt, :2])), 4)
-        extra_ate[f"baseline_ate_{name}_m"] = round(float(ate(
-            np.stack(gold2.trajectory)[:, :2], sc.gt_poses[:tt, :2])), 4) \
-            if gold2.trajectory else float("nan")
+    def extra_ate_section():
+        out = {}
+        from tpuslam.sim import acceleration, skidpad
+        # distinct seeds/cadence per config: odometry noise is additive and
+        # track-independent in the simulator, so identical seeds would make
+        # the two configs report bit-identical ATE (uninformative)
+        for name, tk, laps, seed in (("skidpad", skidpad(), 1.3, 5),
+                                     ("acceleration", acceleration(), 1.0, 6)):
+            sc = simulate(tk, SimConfig(laps=laps, keyframe_dt=0.25,
+                                        seed=seed))
+            tt = len(sc.times)
+            cap2 = GraphCapacity(
+                max_poses=max(64, 1 << (tt - 1).bit_length()),
+                max_landmarks=128, max_obs=4096)
+            st2b, outs2b = run_sequence(
+                initial_state(cap2), jnp.asarray(sc.obs, jnp.float32),
+                jnp.asarray(sc.obs_valid),
+                jnp.asarray(sc.odom_poses, jnp.float32),
+                SlamConfig(capacity=cap2))
+            gold2 = GoldenSlam()
+            gold2.run_scenario(sc)
+            out[f"ate_{name}_m"] = round(float(ate(
+                np.asarray(outs2b.pose)[:, :2], sc.gt_poses[:tt, :2])), 4)
+            out[f"baseline_ate_{name}_m"] = round(float(ate(
+                np.stack(gold2.trajectory)[:, :2], sc.gt_poses[:tt, :2])), 4) \
+                if gold2.trajectory else float("nan")
+        return out
 
+    _section(extras, "extra_ate_configs", extra_ate_section)
+
+    _note("measured CPU baseline (golden frontend)")
     # measured CPU baseline (reference-semantics golden frontend)
     gold = GoldenSlam()
     t0 = time.perf_counter()
@@ -301,22 +362,13 @@ def main():
         "baseline_fps_cpu_golden": round(fps_gold, 2),
         "reference_design_bound_fps": reference_design_bound_fps,
         "batched_sessions": n_sess,
-        "batched_frames_per_sec_per_chip": round(fps_batched, 2),
-        "online_keyframe_latency_us": round(online_latency_us, 1),
         "reference_frame_budget_us": cfg.gathering_time_ms * 1000.0,
         "ate_m": round(float(ate_m), 4),
-        "ate_improved_online_m": round(float(ate_improved), 4),
-        "ate_improved_final_m": round(float(ate_improved_final), 4),
-        "improved_fast_frames_per_sec_per_chip": round(fps_improved_fast, 2),
-        "ate_improved_fast_online_m": round(float(ate_if), 4),
-        "map_error_improved_m": round(map_err_improved, 4),
         "baseline_ate_m": round(float(gold_ate), 4),
         "loop_closed": closed,
         "frames": t_frames,
-        "vlp16_sweeps_per_sec_per_chip": round(sweeps_per_sec, 1),
-        "vlp16_sensor_rate_hz": 10.0,
         "device": str(jax.devices()[0]),
-        **extra_ate,
+        **extras,
     }))
 
 
