@@ -55,6 +55,16 @@ def test_cli_export(tmp_path, capsys):
     assert len(body) > 2
 
 
+def test_cli_sim_improved_mode(capsys):
+    """--improved (SlamConfig.improved from the CLI) runs and beats the raw
+    odometry trajectory."""
+    rc = main(["sim", "trackdrive", "--laps", "1.3", "--improved"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["loop_closed"] is True
+    assert out["ate_published_m"] < out["ate_odometry_m"]
+
+
 def test_cli_record_roundtrips_bus(tmp_path):
     """slamctl record (the reference session's logger service): envelopes
     published on the bus land in a Player-compatible .rec file."""

@@ -35,6 +35,11 @@ def _add_reference_flags(p: argparse.ArgumentParser):
     p.add_argument("--conesPerPacket", type=int, default=20)
     p.add_argument("--no-compat", action="store_true",
                    help="disable reference-compat quirks (clean math mode)")
+    p.add_argument("--improved", action="store_true",
+                   help="beats-the-reference accuracy mode: GPS/heading "
+                        "priors, calibrated weights, nearest association, "
+                        "localizer refine, periodic re-optimization "
+                        "(SlamConfig.improved)")
     p.add_argument("--association", default=None,
                    choices=["first", "nearest", "mahalanobis"])
     p.add_argument("--viz-png", default=None, metavar="PATH",
@@ -55,7 +60,14 @@ def _config_from_args(args):
         "coneMappingThreshold": args.coneMappingThreshold,
         "conesPerPacket": args.conesPerPacket,
     })
-    if args.no_compat:
+    if args.improved:
+        cfg = SlamConfig.improved(
+            **{f: getattr(cfg, f) for f in (
+                "cid", "sender_id", "detect_cone_id", "estimation_id",
+                "gathering_time_ms", "same_cone_threshold", "ref_latitude",
+                "ref_longitude", "time_between_keyframes_ms",
+                "cone_mapping_threshold", "cones_per_packet", "capacity")})
+    elif args.no_compat:
         cfg = cfg.with_(reference_compat=False, localizer_type_bug=False,
                         association="nearest", localizer_refine=True)
     if args.association:
