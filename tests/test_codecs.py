@@ -318,14 +318,13 @@ def test_envelope_converter_roundtrip():
 
 def test_lcm_to_generic_via_runtime_spec():
     """LCMToGenericMessage equivalent: decode LCM bytes against a spec
-    parsed from the reference .odvd at runtime — hash verified, values
+    the vendored standard message set — hash verified, values
     land in a dict-backed GenericMessage."""
     from tpuslam.io.codecs import lcm_to_generic, to_lcm
     from tpuslam.io.odvd import parse_odvd
 
-    ODVD = "/root/reference/src/opendlv-standard-message-set-v0.9.5.odvd"
-    with open(ODVD) as f:
-        specs = {s.name: s for s in parse_odvd(f.read())}
+    from tpuslam.io import standard_message_set as SMS
+    specs = {s.name: s for s in SMS.to_specs()}
     spec = specs["opendlv.logic.sensation.Geolocation"]
     assert spec.odvd_types["latitude"] == "double"
 

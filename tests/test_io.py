@@ -14,7 +14,61 @@ from tpuslam.io import proto
 from tpuslam.io.odvd import load_standard_message_set, parse_odvd
 from tpuslam.io.rec import Player, RecWriter, read_rec
 
-ODVD = "/root/reference/src/opendlv-standard-message-set-v0.9.5.odvd"
+# the vendored spec (shipped in the package) is the suite's schema source;
+# the reference checkout is only needed for the cross-check parity test
+from tpuslam.io import standard_message_set as SMS  # noqa: E402
+
+ODVD = os.path.join(os.path.dirname(SMS.__file__),
+                    "opendlv_standard_message_set.odvd")
+REF_ODVD = "/root/reference/src/opendlv-standard-message-set-v0.9.5.odvd"
+
+
+def test_vendored_standard_set():
+    """The shipped table covers the full v0.9.5 set, builds codable classes,
+    and its emitted .odvd round-trips through the parser."""
+    assert len(SMS.STANDARD_MESSAGES) == 62
+    classes = SMS.build_classes(register=False)
+    assert len(classes) == 62
+    # every hand-written opendlv.* spec is field-identical to the table
+    table = {n: (i, f) for n, i, f in SMS.STANDARD_MESSAGES}
+    checked = 0
+    for cls in M.MESSAGE_REGISTRY.values():
+        ln = getattr(cls, "LONG_NAME", "")
+        if ln in table:
+            ident, fields = table[ln]
+            assert ident == cls.ID
+            assert [(f[2], f[0]) for f in cls.FIELDS] == \
+                [(fn, fi) for fn, fi, ft in fields], ln
+            checked += 1
+    assert checked >= 8
+    # shipped .odvd artifact parses to the same specs as the emitter text
+    text = SMS.standard_odvd_text()
+    specs = parse_odvd(text)
+    file_specs = parse_odvd(open(ODVD).read())
+    key = lambda ss: [(s.name, s.ident, s.fields) for s in ss]  # noqa: E731
+    assert key(specs) == key(file_specs)
+    # register_all semantics: hand classes keep their registry slots
+    before = dict(M.MESSAGE_REGISTRY)
+    SMS.build_classes(register=True)
+    assert M.MESSAGE_REGISTRY[M.ObjectDirection.ID] is M.ObjectDirection
+    assert 1116 in M.MESSAGE_REGISTRY  # Geolocation present
+    # new ids (e.g. opendlv.system.SignalStatusMessage [1002]) now resolve
+    assert 1002 in M.MESSAGE_REGISTRY
+    M.MESSAGE_REGISTRY.clear()
+    M.MESSAGE_REGISTRY.update(before)
+
+
+@pytest.mark.skipif(not os.path.exists(REF_ODVD),
+                    reason="reference checkout not present")
+def test_vendored_set_matches_reference_odvd():
+    """Byte-for-byte schema parity with the upstream v0.9.5 spec."""
+    ref = {s.name: s for s in parse_odvd(open(REF_ODVD).read())}
+    ours = {s.name: s for s in SMS.to_specs()}
+    assert set(ref) == set(ours)
+    for n, s in ref.items():
+        assert ours[n].ident == s.ident, n
+        assert ours[n].fields == s.fields, n
+        assert ours[n].odvd_types == s.odvd_types, n
 
 
 def test_varint_zigzag_vectors():

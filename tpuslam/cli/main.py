@@ -332,6 +332,13 @@ def cmd_viz(args):
 
 def cmd_msc(args):
     from tpuslam.io.msc import generate_python_module, generate_python_source
+    if not args.odvd:
+        # no spec given: use the vendored standard message set (the reference
+        # ships src/opendlv-standard-message-set-v0.9.5.odvd for this role)
+        import os
+        from tpuslam.io import standard_message_set as _sms
+        args.odvd = os.path.join(os.path.dirname(_sms.__file__),
+                                 "opendlv_standard_message_set.odvd")
     if args.out:
         n = generate_python_module(args.odvd, args.out)
         print(f"[slamctl] {args.odvd}: {n} message classes -> {args.out}")
@@ -427,7 +434,9 @@ def main(argv=None):
 
     pg = sub.add_parser("msc", help=".odvd -> Python message classes "
                                     "(cluon-msc)")
-    pg.add_argument("odvd")
+    pg.add_argument("odvd", nargs="?", default=None,
+                    help="spec file (default: the vendored standard "
+                         "message set v0.9.5)")
     pg.add_argument("--out", default=None,
                     help="output .py path (default: stdout)")
     pg.set_defaults(fn=cmd_msc)
