@@ -1,0 +1,227 @@
+"""Cross-session map fusion: alignment, dedup/merge, joint optimization.
+
+BASELINE config 5's fused-map capability (VERDICT round-1 item #1): S
+sessions over the 8-device virtual mesh produce ONE global map whose result
+matches the single-device merged-graph golden.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpuslam.backend import gauss_newton as gn
+from tpuslam.backend.graph import GraphCapacity
+from tpuslam.frontend.pipeline import run_sequence
+from tpuslam.frontend.state import initial_state
+from tpuslam.parallel import fusion
+from tpuslam.parallel.mesh import make_slam_mesh
+from tpuslam.parallel.multisession import stack_graphs
+from tpuslam.runtime.config import SlamConfig
+from tpuslam.sim import SimConfig, simulate, trackdrive
+from tpuslam.sim.simulator import ate
+
+
+def _rand_landmarks(rng, n, spread=20.0):
+    xy = rng.uniform(-spread, spread, (n, 2)).astype(np.float32)
+    t = rng.integers(1, 4, n).astype(np.int32)
+    return jnp.asarray(xy), jnp.asarray(t)
+
+
+def test_estimate_se2_recovers_transform():
+    rng = np.random.default_rng(0)
+    dst_xy, types = _rand_landmarks(rng, 60)
+    true_t = jnp.asarray([1.5, -2.0, 0.3], jnp.float32)
+    # src = inverse-transform of dst plus noise: applying true_t to src
+    # should land on dst
+    c, s = np.cos(-0.3), np.sin(-0.3)
+    shifted = np.asarray(dst_xy) - np.asarray(true_t[:2])
+    src = np.stack([c * shifted[:, 0] - s * shifted[:, 1],
+                    s * shifted[:, 0] + c * shifted[:, 1]], -1)
+    src += rng.normal(0, 0.02, src.shape)
+    valid = jnp.ones(60, bool)
+    t, n = fusion.estimate_se2(jnp.asarray(src, jnp.float32), types, valid,
+                               dst_xy, types, valid, gate=3.0, iters=10)
+    assert int(n) >= 55
+    np.testing.assert_allclose(np.asarray(t), np.asarray(true_t), atol=0.02)
+
+
+def test_estimate_se2_too_few_matches_is_identity():
+    rng = np.random.default_rng(1)
+    a_xy, a_t = _rand_landmarks(rng, 8)
+    b_xy, b_t = _rand_landmarks(rng, 8, spread=500.0)  # disjoint
+    valid = jnp.ones(8, bool)
+    t, n = fusion.estimate_se2(a_xy, a_t, valid, b_xy, b_t, valid, gate=1.0)
+    assert int(n) < 3
+    np.testing.assert_array_equal(np.asarray(t), np.zeros(3))
+
+
+def _sessions(n_sess, cap, cfg, t_cap=None, rigid_offsets=None):
+    """Run n_sess independent mapping sessions of the same track."""
+    graphs, scens = [], []
+    for s in range(n_sess):
+        scen = simulate(trackdrive(seed=11),
+                        SimConfig(laps=1.2, keyframe_dt=0.25, speed=8.0,
+                                  max_range=20.0, seed=100 + s))
+        t = len(scen.times) if t_cap is None else min(t_cap, len(scen.times))
+        poses = np.asarray(scen.odom_poses[:t], np.float32)
+        if rigid_offsets is not None:
+            tx, ty, th = rigid_offsets[s]
+            c, si = np.cos(th), np.sin(th)
+            xy = poses[:, :2] @ np.array([[c, si], [-si, c]], np.float32)
+            poses = np.stack([xy[:, 0] + tx, xy[:, 1] + ty,
+                              poses[:, 2] + th], -1).astype(np.float32)
+        st, _ = run_sequence(initial_state(cap),
+                             jnp.asarray(scen.obs[:t], jnp.float32),
+                             jnp.asarray(scen.obs_valid[:t]),
+                             jnp.asarray(poses), cfg)
+        graphs.append(st.graph)
+        scens.append(scen)
+    return graphs, scens
+
+
+@pytest.fixture(scope="module")
+def session_pack():
+    cap = GraphCapacity(max_poses=128, max_landmarks=128, max_obs=2048)
+    cfg = SlamConfig(capacity=cap)
+    graphs, scens = _sessions(4, cap, cfg)
+    return cap, cfg, graphs, scens
+
+
+def test_fuse_merges_cross_session_landmarks(session_pack):
+    cap, cfg, graphs, scens = session_pack
+    stacked = stack_graphs(graphs)
+    fused, report = fusion.fuse_sessions(stacked, cfg=None,
+                                         gate=cfg.same_cone_threshold)
+    n_per = [int(g.n_landmarks) for g in graphs]
+    n_fused = int(fused.n_landmarks)
+    # same physical track: the fused map must collapse toward one session's
+    # landmark count, far below the concatenated total
+    assert n_fused < sum(n_per) * 0.45
+    assert n_fused >= max(n_per) * 0.8
+    assert int(report["n_cross_session_merges"]) > 0.5 * n_fused
+    # pose chains concatenated + severed at boundaries
+    assert int(fused.n_poses) == sum(int(g.n_poses) for g in graphs)
+    offsets = np.cumsum([0] + [int(g.n_poses) for g in graphs[:-1]])
+    odo_w = np.asarray(fused.odo_w)
+    for o in offsets:
+        assert odo_w[o] == 0.0
+    # interior edges keep weight 1
+    assert odo_w[1:int(graphs[0].n_poses)].min() == 1.0
+    # all edges preserved
+    assert int(fused.n_obs) == sum(int(g.n_obs) for g in graphs)
+
+
+def test_fused_joint_optimize_beats_independent_maps(session_pack):
+    """Joint GN on the fused graph: finite, consistent, and the merged map is
+    at least as accurate as the mean independent session map."""
+    cap, cfg, graphs, scens = session_pack
+    track_xy = scens[0].track.cones_xy
+    stacked = stack_graphs(graphs)
+    gncfg = gn.GNConfig(iterations=5)
+    fused, report = fusion.fuse_sessions(stacked, cfg=gncfg,
+                                         gate=cfg.same_cone_threshold)
+    assert bool(jnp.all(jnp.isfinite(fused.poses)))
+    n = int(fused.n_landmarks)
+    lm = np.asarray(fused.lm_xy)[:n]
+    err_fused = np.median(np.linalg.norm(
+        lm[:, None, :] - track_xy[None], axis=-1).min(axis=1))
+
+    errs = []
+    for g in graphs:
+        gl = np.asarray(g.lm_xy)[:int(g.n_landmarks)]
+        errs.append(np.median(np.linalg.norm(
+            gl[:, None, :] - track_xy[None], axis=-1).min(axis=1)))
+    assert err_fused <= np.mean(errs) + 0.02
+    # compat mode is GPS-noise bound (odometry poses dominate; the
+    # reference's landmark info weight is 0.01); see the improved-mode
+    # fusion test for the calibrated-weights accuracy bar
+    assert err_fused < 0.8
+
+
+def test_fused_joint_optimize_improved_weights():
+    """Fusing with calibrated weights + GPS priors: the jointly optimized
+    global map averages out per-session noise — the fused map must beat the
+    mean independent map error."""
+    cap = GraphCapacity(max_poses=128, max_landmarks=128, max_obs=2048)
+    cfg = SlamConfig.improved(capacity=cap, periodic_gn_every=0)
+    graphs, scens = _sessions(4, cap, cfg)
+    track_xy = scens[0].track.cones_xy
+    gncfg = gn.GNConfig(odo_info=cfg.odo_info, lm_info=cfg.lm_info,
+                        iterations=5, fix_first_poses=0,
+                        fix_first_landmarks=0)
+    fused, report = fusion.fuse_sessions(stack_graphs(graphs), cfg=gncfg,
+                                         gate=cfg.same_cone_threshold)
+    n = int(fused.n_landmarks)
+    lm = np.asarray(fused.lm_xy)[:n]
+    err_fused = np.median(np.linalg.norm(
+        lm[:, None, :] - track_xy[None], axis=-1).min(axis=1))
+    errs = []
+    for g in graphs:
+        gl = np.asarray(g.lm_xy)[:int(g.n_landmarks)]
+        errs.append(np.median(np.linalg.norm(
+            gl[:, None, :] - track_xy[None], axis=-1).min(axis=1)))
+    assert err_fused < np.mean(errs)
+    assert err_fused < 0.25
+
+
+def test_fusion_sharded_matches_single_device_golden(session_pack):
+    """The mesh path (landmark-sharded dedup + edge-sharded distributed
+    Schur) must reproduce the single-device fused result."""
+    cap, cfg, graphs, scens = session_pack
+    stacked = stack_graphs(graphs)
+    gncfg = gn.GNConfig(iterations=4)
+    mesh = make_slam_mesh(n_sessions=1, n_edge_shards=8)
+
+    golden, rep_g = fusion.fuse_sessions(stacked, cfg=gncfg,
+                                         gate=cfg.same_cone_threshold)
+    sharded, rep_s = fusion.fuse_sessions(stacked, cfg=gncfg,
+                                          gate=cfg.same_cone_threshold,
+                                          mesh=mesh)
+    # dedup decisions are exact (integer labels)
+    np.testing.assert_array_equal(np.asarray(rep_g["labels"]),
+                                  np.asarray(rep_s["labels"]))
+    assert int(golden.n_landmarks) == int(sharded.n_landmarks)
+    # optimized estimates match to reduction-order tolerance
+    npo = int(golden.n_poses)
+    nl = int(golden.n_landmarks)
+    np.testing.assert_allclose(np.asarray(sharded.poses)[:npo],
+                               np.asarray(golden.poses)[:npo],
+                               rtol=0, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(sharded.lm_xy)[:nl],
+                               np.asarray(golden.lm_xy)[:nl],
+                               rtol=0, atol=5e-4)
+
+
+def test_align_to_anchor_registers_offset_sessions():
+    """Sessions recorded in rigidly-offset frames (e.g. differing GPS
+    references) register back onto the anchor before fusion."""
+    cap = GraphCapacity(max_poses=128, max_landmarks=128, max_obs=2048)
+    cfg = SlamConfig(capacity=cap)
+    # residual per-session drift in a shared GPS frame is sub-meter; ICP on
+    # a repetitive cone track cannot (and need not) recover multi-meter
+    # offsets — that is the GPS reference's job
+    offs = [(0.0, 0.0, 0.0), (0.8, -0.5, 0.04)]
+    graphs, scens = _sessions(2, cap, cfg, rigid_offsets=offs)
+    stacked = stack_graphs(graphs)
+    moved, tforms, n_matched = fusion.align_to_anchor(
+        stacked, gate=2.0, iters=12)
+    assert int(n_matched[1]) > 20
+    # session 1's landmarks must now lie on session 0's map
+    lm0 = np.asarray(moved.lm_xy[0])[:int(moved.n_landmarks[0])]
+    lm1 = np.asarray(moved.lm_xy[1])[:int(moved.n_landmarks[1])]
+    d = np.linalg.norm(lm1[:, None] - lm0[None], axis=-1).min(axis=1)
+    assert np.median(d) < 0.35
+    # and fusion dedups them
+    fused, report = fusion.fuse_graphs(moved, gate=cfg.same_cone_threshold)
+    assert int(fused.n_landmarks) < int(stacked.n_landmarks.sum()) * 0.7
+
+
+def test_fused_boundary_edge_carries_no_information(session_pack):
+    """assemble_odometry must zero the session-boundary chain edges."""
+    cap, cfg, graphs, scens = session_pack
+    stacked = stack_graphs(graphs[:2])
+    fused, _ = fusion.fuse_graphs(stacked, gate=cfg.same_cone_threshold)
+    h_diag, h_off, gp = gn.assemble_odometry(fused, gn.GNConfig())
+    b = int(graphs[0].n_poses)  # first pose of session 1
+    np.testing.assert_array_equal(np.asarray(h_off[b]), np.zeros((3, 3)))

@@ -88,7 +88,7 @@ def _edge_terms(g: FactorGraph, cfg: GNConfig):
     odo_valid = (k >= 1) & (k < g.n_poses)
     p_prev = g.poses[jnp.maximum(k - 1, 0)]
     r_o, j_oi, j_oj = odometry_residuals(p_prev, g.poses, g.odo_meas)
-    w_o = jnp.asarray(cfg.odo_info, dtype) * odo_valid.astype(dtype)
+    w_o = jnp.asarray(cfg.odo_info, dtype) * odo_valid.astype(dtype) * g.odo_w
 
     pidx = g.obs_pose
     lidx = g.obs_lm
@@ -123,7 +123,7 @@ def assemble_odometry(g: FactorGraph, cfg: GNConfig):
     p_prev = g.poses[jnp.maximum(k - 1, 0)]
     r_o, j_oi, j_oj = odometry_residuals(p_prev, g.poses, g.odo_meas)
     dtype = g.poses.dtype
-    w_o = jnp.asarray(cfg.odo_info, dtype) * odo_valid.astype(dtype)
+    w_o = jnp.asarray(cfg.odo_info, dtype) * odo_valid.astype(dtype) * g.odo_w
 
     w3 = w_o[:, None, None]
     jti = jnp.swapaxes(j_oi, -1, -2)

@@ -45,6 +45,13 @@ class FactorGraph:
     poses: jax.Array        # [P, 3] f32
     n_poses: jax.Array      # i32 scalar
     odo_meas: jax.Array     # [P, 3] f32; odo_meas[k] = between(pose[k-1], pose[k])
+    odo_w: jax.Array        # [P] f32 per-edge odometry weight multiplier on the
+    # chain edge (pose k-1 -> k). 1.0 everywhere for a single session (the
+    # reference's uniform I3*odo_info chain); 0.0 severs the edge — used by
+    # cross-session map fusion (tpuslam/parallel/fusion.py) where the fused
+    # graph concatenates S independent pose chains and the bogus edge between
+    # session s's last pose and session s+1's first pose must carry no
+    # information.
     # landmarks
     lm_xy: jax.Array        # [L, 2] f32
     lm_type: jax.Array      # [L] i32
@@ -84,6 +91,7 @@ def empty_graph(cap: GraphCapacity, dtype=jnp.float32) -> FactorGraph:
         poses=jnp.zeros((cap.max_poses, 3), dtype),
         n_poses=jnp.int32(0),
         odo_meas=jnp.zeros((cap.max_poses, 3), dtype),
+        odo_w=jnp.ones((cap.max_poses,), dtype),
         lm_xy=jnp.zeros((cap.max_landmarks, 2), dtype),
         lm_type=jnp.zeros((cap.max_landmarks,), jnp.int32),
         n_landmarks=jnp.int32(0),

@@ -236,6 +236,116 @@ def cmd_bench(args):
     return 0
 
 
+def cmd_fuse(args):
+    """Cross-session map fusion: S sessions -> one global map
+    (tpuslam/parallel/fusion.py; BASELINE config 5's fused-map flow)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from tpuslam.backend import gauss_newton as gn
+    from tpuslam.parallel import fusion, stack_graphs
+    from tpuslam.runtime.config import SlamConfig
+
+    cfg = _config_from_args(args)
+    gt_track = None
+    if args.checkpoints:
+        from tpuslam.runtime.checkpoint import load_checkpoint
+        states = [load_checkpoint(p)[0] for p in args.checkpoints]
+        graphs = [s.graph for s in states]
+        caps = {g.capacity for g in graphs}
+        if len(caps) != 1:
+            print(f"[slamctl] checkpoint capacities differ: {caps}",
+                  file=sys.stderr)
+            return 2
+        cap = graphs[0].capacity
+    else:
+        # simulate S independent sessions of the same track (distinct noise
+        # seeds) and map each one through the engine
+        from tpuslam.backend.graph import GraphCapacity
+        from tpuslam.frontend.pipeline import run_sequence
+        from tpuslam.frontend.state import initial_state
+        from tpuslam.sim import SimConfig, simulate, trackdrive
+        track = trackdrive(seed=args.seed)
+        gt_track = track
+        cap = GraphCapacity(max_poses=512, max_landmarks=256, max_obs=8192)
+        cfg = cfg.with_(capacity=cap)
+        graphs = []
+        for s in range(args.sessions):
+            scen = simulate(track, SimConfig(laps=args.laps, keyframe_dt=0.25,
+                                             seed=args.seed + 1 + s))
+            st, _ = run_sequence(initial_state(cap),
+                                 jnp.asarray(scen.obs, jnp.float32),
+                                 jnp.asarray(scen.obs_valid),
+                                 jnp.asarray(scen.odom_poses, jnp.float32),
+                                 cfg)
+            graphs.append(st.graph)
+
+    mesh = None
+    if args.mesh_shards > 1:
+        from tpuslam.parallel.mesh import make_slam_mesh
+        n_dev = len(jax.devices())
+        if n_dev < args.mesh_shards:
+            print(f"[slamctl] --mesh-shards {args.mesh_shards} > "
+                  f"{n_dev} devices", file=sys.stderr)
+            return 2
+        mesh = make_slam_mesh(n_sessions=1, n_edge_shards=args.mesh_shards)
+
+    gncfg = gn.GNConfig(odo_info=cfg.odo_info, lm_info=cfg.lm_info,
+                        iterations=args.gn_iterations,
+                        fix_first_poses=0 if cfg.use_gps_prior else 2,
+                        fix_first_landmarks=0 if cfg.use_gps_prior else 2)
+    stacked = stack_graphs(graphs)
+    t0 = time.perf_counter()
+    fused, report = fusion.fuse_sessions(
+        stacked, cfg=gncfg, gate=cfg.same_cone_threshold, mesh=mesh,
+        align=not args.no_align)
+    jax.block_until_ready(fused.poses)
+    dt = time.perf_counter() - t0
+
+    result = {
+        "sessions": len(graphs),
+        "landmarks_per_session": [int(g.n_landmarks) for g in graphs],
+        "fused_landmarks": int(fused.n_landmarks),
+        "fused_poses": int(fused.n_poses),
+        "cross_session_merges": int(report["n_cross_session_merges"]),
+        "align_matches": [int(x) for x in np.asarray(
+            report["n_align_matched"])],
+        "mesh_shards": args.mesh_shards,
+        "fuse_seconds": round(dt, 3),
+    }
+    if gt_track is not None:
+        lm = np.asarray(fused.lm_xy)[:int(fused.n_landmarks)]
+        result["map_error_m"] = round(float(np.median(np.linalg.norm(
+            lm[:, None, :] - gt_track.cones_xy[None], axis=-1).min(axis=1))), 4)
+    if args.out:
+        from tpuslam.frontend.state import SlamState
+        from tpuslam.runtime.checkpoint import save_checkpoint
+        fused_state = SlamState(
+            graph=fused, current_cone_index=jnp.int32(0),
+            loop_closing=jnp.asarray(True),
+            loop_closure_complete=jnp.asarray(True),
+            keyframe_count=fused.n_poses,
+            send_cone_data=jnp.asarray(False),
+            lm_info_xy=jnp.zeros((fused.lm_xy.shape[0], 3), jnp.float32))
+        save_checkpoint(args.out, fused_state, cfg,
+                        extra={"fused_sessions": len(graphs)})
+        result["out"] = args.out
+    if args.png:
+        from tpuslam.frontend.state import SlamState
+        from tpuslam.viz import save_state_png
+        fused_state = SlamState(
+            graph=fused, current_cone_index=jnp.int32(0),
+            loop_closing=jnp.asarray(True),
+            loop_closure_complete=jnp.asarray(True),
+            keyframe_count=fused.n_poses,
+            send_cone_data=jnp.asarray(False),
+            lm_info_xy=jnp.zeros((fused.lm_xy.shape[0], 3), jnp.float32))
+        save_state_png(fused_state, args.png, gt_track=gt_track)
+        result["png"] = args.png
+    print(json.dumps(result))
+    return 0
+
+
 def cmd_export(args):
     from tpuslam.io.exporters import rec_to_csv, rec_to_jsonl
     from tpuslam.io.rec import read_rec
@@ -404,6 +514,26 @@ def main(argv=None):
 
     pb = sub.add_parser("bench", help="benchmark suite")
     pb.set_defaults(fn=cmd_bench)
+
+    pf = sub.add_parser("fuse", help="cross-session map fusion: S session "
+                                     "checkpoints (or simulated sessions) "
+                                     "-> one jointly optimized global map")
+    _add_reference_flags(pf)
+    pf.add_argument("checkpoints", nargs="*",
+                    help="session checkpoint .npz files (omit to simulate "
+                         "--sessions sessions)")
+    pf.add_argument("--sessions", type=int, default=4)
+    pf.add_argument("--laps", type=float, default=1.2)
+    pf.add_argument("--seed", type=int, default=11)
+    pf.add_argument("--mesh-shards", type=int, default=1,
+                    help=">1: landmark-sharded dedup + edge-sharded "
+                         "distributed-Schur joint GN over that many devices")
+    pf.add_argument("--gn-iterations", type=int, default=5)
+    pf.add_argument("--no-align", action="store_true",
+                    help="skip SE(2) registration (sessions already aligned)")
+    pf.add_argument("--out", default=None, help="write fused checkpoint .npz")
+    pf.add_argument("--png", default=None, help="render the fused map")
+    pf.set_defaults(fn=cmd_fuse)
 
     pe = sub.add_parser("export", help=".rec -> csv/jsonl")
     pe.add_argument("rec")

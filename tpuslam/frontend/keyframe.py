@@ -112,17 +112,33 @@ def _use_assoc_kernel(cfg: SlamConfig) -> bool:
     return cfg.use_pallas_association and cfg.association != "first"
 
 
-def _associate_shared(state: SlamState, obs, obs_valid, pose, cfg: SlamConfig):
+def _indexed_assoc(cfg: SlamConfig, assoc_mesh=None) -> bool:
+    """True when the association payload is (match_idx, matched) from a
+    provider (Pallas kernel or mesh-sharded map blocks) instead of the dense
+    (N x M) cost matrix."""
+    return assoc_mesh is not None or _use_assoc_kernel(cfg)
+
+
+def _associate_shared(state: SlamState, obs, obs_valid, pose, cfg: SlamConfig,
+                      assoc_mesh=None):
     """The association work shared by mapping and localization: observations
     to global frame, body-frame measurements, and the association payload —
     the (N x M) gating cost matrix (squared Euclidean, or Mahalanobis under
-    cfg.association='mahalanobis'), or, with cfg.use_pallas_association, the
-    tiled kernel's (match_idx, matched) pair with no (N x M) materialized.
-    Hoisted out of the mapping/localization cond so a vmapped step (which
-    executes both branches) pays for it once."""
+    cfg.association='mahalanobis'); or, with cfg.use_pallas_association, the
+    tiled kernel's (match_idx, matched) pair with no (N x M) materialized;
+    or, with `assoc_mesh`, the same pair from the mesh-sharded map-block
+    provider (tpuslam/parallel/map_blocks.py) — association runs shard-local
+    over the landmark axis and one pmin lattice reduction picks the global
+    winner (the pod-scale map layout). Hoisted out of the
+    mapping/localization cond so a vmapped step (which executes both
+    branches) pays for it once."""
     glob_all = jax.vmap(lambda ob: cone_to_global(
         pose, ob[0], ob[1], ob[2], cfg.lidar_to_cog, cfg.reference_compat))(obs)
     body_all = _body_xy(obs, cfg)
+    if assoc_mesh is not None:
+        j, matched = _associate_map_sharded(state, glob_all, obs, obs_valid,
+                                            cfg, assoc_mesh)
+        return glob_all, body_all, j, matched
     if _use_assoc_kernel(cfg):
         j, matched = _associate_pallas(state, glob_all, obs, obs_valid, cfg)
         return glob_all, body_all, j, matched
@@ -130,6 +146,38 @@ def _associate_shared(state: SlamState, obs, obs_valid, pose, cfg: SlamConfig):
     d2 = jnp.sum(diff * diff, axis=-1)
     cost, gate = _gate_cost(diff, d2, state.lm_info_xy, cfg)
     return glob_all, body_all, cost, gate
+
+
+def _associate_map_sharded(state: SlamState, glob_all, obs, obs_valid,
+                           cfg: SlamConfig, mesh):
+    """Association against the landmark-sharded map
+    (tpuslam.parallel.map_blocks.associate_sharded): every policy including
+    the reference's 'first' (global first = smallest landmark index).
+    Exact vs the dense path on match decisions; like the Pallas provider it
+    does not reproduce the localizer signed-type quirk (clean type
+    equality), so use it with localizer_type_bug=False configs."""
+    from tpuslam.parallel.map_blocks import associate_sharded
+    g = state.graph
+    otype = obs[:, 3].astype(jnp.int32)
+    if cfg.association == "mahalanobis":
+        thresh2 = cfg.same_cone_threshold ** 2
+        fallback = cfg.mahalanobis_gate / thresh2
+        info = state.lm_info_xy
+        has = (info[:, 0] + info[:, 2]) > 0.0
+        a = jnp.where(has, info[:, 0], fallback)
+        b = jnp.where(has, info[:, 1], 0.0)
+        c = jnp.where(has, info[:, 2], fallback)
+        cov_inv = jnp.stack(
+            [jnp.stack([a, b], -1), jnp.stack([b, c], -1)], -2)
+        j, matched, _ = associate_sharded(
+            glob_all, otype, obs_valid, g.lm_xy, g.lm_type, g.lm_valid,
+            cfg.mahalanobis_gate, mesh, mode="mahalanobis",
+            lm_cov_inv=cov_inv)
+    else:
+        j, matched, _ = associate_sharded(
+            glob_all, otype, obs_valid, g.lm_xy, g.lm_type, g.lm_valid,
+            cfg.same_cone_threshold, mesh, mode=cfg.association)
+    return j.astype(jnp.int32), matched
 
 
 def _associate_pallas(state: SlamState, glob_all, obs, obs_valid,
@@ -180,7 +228,7 @@ def _prefix_argmin_exclusive(vals, idxs):
 
 def _mapping_step_vectorized(state: SlamState, obs, obs_valid, pose, pose_idx,
                              cfg: SlamConfig, defer_gn: bool = False,
-                             pre=None):
+                             pre=None, indexed: bool | None = None):
     """Batched mapping-mode update — exactly the reference's sequential
     semantics (src/slam.cpp:552-635) re-expressed as vector ops.
 
@@ -201,6 +249,8 @@ def _mapping_step_vectorized(state: SlamState, obs, obs_valid, pose, pose_idx,
     n = obs.shape[0]
     cap_l = g.lm_xy.shape[0]
     cap_e = g.obs_pose.shape[0]
+    if indexed is None:
+        indexed = _use_assoc_kernel(cfg)
 
     # Bootstrap (reference src/slam.cpp:554-567), as in the sequential path.
     glob_all, body_all, pay_a, pay_b = pre if pre is not None else \
@@ -218,7 +268,7 @@ def _mapping_step_vectorized(state: SlamState, obs, obs_valid, pose, pose_idx,
     # landmark carries no information yet -> Euclidean gate).
     diff0 = glob_all - g.lm_xy[0][None, :]
     d2_col0 = jnp.sum(diff0 * diff0, axis=-1)
-    if _use_assoc_kernel(cfg):
+    if indexed:
         j, matched0 = pay_a, pay_b
         # boot: the map was empty pre-kernel, so every hit goes to slot 0
         hit0 = (boot & (d2_col0 < thresh2) & (g.lm_type[0] == otype)
@@ -431,7 +481,7 @@ def _pose_refine(pose, g: G.FactorGraph, idx, matched, meas_xy, iters=3):
 
 
 def _localization_step(state: SlamState, obs, obs_valid, pose, cfg: SlamConfig,
-                       pre=None):
+                       pre=None, indexed: bool | None = None):
     """Localization mode against the frozen map (reference src/slam.cpp:340-414).
 
     Vectorized: the reference's first-match-in-index-order per observation and
@@ -442,10 +492,12 @@ def _localization_step(state: SlamState, obs, obs_valid, pose, cfg: SlamConfig,
     add them; published results are identical.
     """
     g = state.graph
+    if indexed is None:
+        indexed = _use_assoc_kernel(cfg)
     _glob, body_all, pay_a, pay_b = pre if pre is not None else \
         _associate_shared(state, obs, obs_valid, pose, cfg)
-    if _use_assoc_kernel(cfg):
-        j, matched = pay_a, pay_b   # nearest semantics from the kernel
+    if indexed:
+        j, matched = pay_a, pay_b   # provider semantics (kernel/sharded)
     else:
         cost, gate = pay_a, pay_b
         if cfg.reference_compat and cfg.localizer_type_bug:
@@ -486,9 +538,10 @@ def _cone_packet(state: SlamState, out_pose, cfg: SlamConfig):
     return az, dist, g.lm_type[idx]
 
 
-@partial(jax.jit, static_argnames=("cfg", "defer_gn"), donate_argnames="state")
+@partial(jax.jit, static_argnames=("cfg", "defer_gn", "assoc_mesh"),
+         donate_argnames="state")
 def perform_keyframe(state: SlamState, obs, obs_valid, pose, cfg: SlamConfig,
-                     defer_gn: bool = False):
+                     defer_gn: bool = False, assoc_mesh=None):
     """Full keyframe update. obs [N,4] = (az_deg, zen_deg, dist, type).
 
     defer_gn=True skips the in-step GN conds and returns `wants_gn` in the
@@ -496,6 +549,13 @@ def perform_keyframe(state: SlamState, obs, obs_valid, pose, cfg: SlamConfig,
     lax.cond would otherwise run the optimizer's *both* branches every frame
     for every session. The caller triggers one batched GN on the (rare)
     frames where any session wants it (see tpuslam/parallel/batch.py).
+
+    assoc_mesh (static, a jax.sharding.Mesh with an 'edges' axis): route
+    data association through the landmark-sharded map-block provider — each
+    device gates its map shard locally and a pmin reduction picks the global
+    winner (tpuslam/parallel/map_blocks.py). Match decisions are exact vs
+    the dense path; requires the landmark capacity to be a multiple of the
+    axis size.
     """
     if cfg.association == "mahalanobis" and not cfg.vectorized_mapping:
         raise ValueError("mahalanobis association requires "
@@ -519,12 +579,14 @@ def perform_keyframe(state: SlamState, obs, obs_valid, pose, cfg: SlamConfig,
         state = dataclasses.replace(state, graph=g,
                                     keyframe_count=state.keyframe_count + 1)
         # association work shared by both branches (a vmapped cond runs both)
-        pre = _associate_shared(state, obs, obs_valid, pose, cfg)
+        pre = _associate_shared(state, obs, obs_valid, pose, cfg, assoc_mesh)
+        indexed = _indexed_assoc(cfg, assoc_mesh)
 
         def mapping(state):
             if cfg.vectorized_mapping:
                 st, closed = _mapping_step_vectorized(
-                    state, obs, obs_valid, pose, pose_idx, cfg, defer_gn, pre)
+                    state, obs, obs_valid, pose, pose_idx, cfg, defer_gn,
+                    pre, indexed)
             else:
                 st, closed = _mapping_step(state, obs, obs_valid, pose,
                                            pose_idx, cfg, defer_gn)
@@ -535,7 +597,7 @@ def perform_keyframe(state: SlamState, obs, obs_valid, pose, cfg: SlamConfig,
             # (src/slam.cpp:332)
             def loc(st):
                 st2, out_pose = _localization_step(st, obs, obs_valid, pose,
-                                                   cfg, pre)
+                                                   cfg, pre, indexed)
                 return st2, out_pose, jnp.asarray(False), jnp.asarray(True)
 
             def skip(st):

@@ -20,18 +20,22 @@ from tpuslam.runtime.config import SlamConfig
 __all__ = ["run_sequence", "run_pass"]
 
 
-@partial(jax.jit, static_argnames="cfg", donate_argnames="state")
+@partial(jax.jit, static_argnames=("cfg", "assoc_mesh"),
+         donate_argnames="state")
 def run_sequence(state: SlamState, obs_seq, valid_seq, pose_seq,
-                 cfg: SlamConfig):
+                 cfg: SlamConfig, assoc_mesh=None):
     """Process T keyframes in one compiled scan.
 
     obs_seq [T, N, 4], valid_seq [T, N], pose_seq [T, 3] (odometry poses,
     already heading-corrected). Returns (final_state, stacked KeyframeOutputs).
+    With `assoc_mesh`, every frame's association runs against the
+    landmark-sharded map (see perform_keyframe).
     """
     def step(state, frame):
         obs, valid, pose = frame
         # inline the wrapped function to keep one jit layer
-        new_state, out = perform_keyframe.__wrapped__(state, obs, valid, pose, cfg)
+        new_state, out = perform_keyframe.__wrapped__(
+            state, obs, valid, pose, cfg, assoc_mesh=assoc_mesh)
         return new_state, out
 
     return jax.lax.scan(step, state, (obs_seq, valid_seq, pose_seq))

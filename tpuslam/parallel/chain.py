@@ -88,7 +88,7 @@ def chain_gn_step(g: FactorGraph, edge_counts, cfg: gn.GNConfig, mesh) -> Factor
     pose_spec = P("chain")
     rep = P()
 
-    def per_shard(poses_l, odo_l, prior_pose_l, prior_info_l,
+    def per_shard(poses_l, odo_l, odo_w_sh, prior_pose_l, prior_info_l,
                   obs_pose_l, obs_lm_l, obs_xy_l, counts_l,
                   lm_xy, n_poses, n_landmarks):
         dev = jax.lax.axis_index("chain")
@@ -103,7 +103,8 @@ def chain_gn_step(g: FactorGraph, edge_counts, cfg: gn.GNConfig, mesh) -> Factor
         p_prev = jnp.concatenate([halo[None, :], poses_l[:-1]], axis=0)
         odo_valid = (k_global >= 1) & (k_global < n_poses)
         r_o, j_oi, j_oj = odometry_residuals(p_prev, poses_l, odo_l)
-        w_o = jnp.asarray(cfg.odo_info, dtype) * odo_valid.astype(dtype)
+        w_o = jnp.asarray(cfg.odo_info, dtype) * odo_valid.astype(dtype) \
+            * odo_w_sh
         w3 = w_o[:, None, None]
         jti = jnp.swapaxes(j_oi, -1, -2)
         jtj = jnp.swapaxes(j_oj, -1, -2)
@@ -156,6 +157,7 @@ def chain_gn_step(g: FactorGraph, edge_counts, cfg: gn.GNConfig, mesh) -> Factor
         hpp = gn.densify_hpp(h_diag, h_off)
         g_tmp = FactorGraph(  # shape/count carrier for _apply_gauge only
             poses=poses_full, n_poses=n_poses, odo_meas=poses_full,
+            odo_w=jnp.ones(poses_full.shape[0], dtype),
             lm_xy=lm_xy, lm_type=jnp.zeros(lm_xy.shape[0], jnp.int32),
             n_landmarks=n_landmarks,
             obs_pose=jnp.zeros((1,), jnp.int32),
@@ -176,14 +178,14 @@ def chain_gn_step(g: FactorGraph, edge_counts, cfg: gn.GNConfig, mesh) -> Factor
 
     fn = shard_map(
         per_shard, mesh=mesh,
-        in_specs=(pose_spec, pose_spec, pose_spec, pose_spec,
+        in_specs=(pose_spec, pose_spec, pose_spec, pose_spec, pose_spec,
                   pose_spec, pose_spec, pose_spec, pose_spec,
                   rep, rep, rep),
         out_specs=(pose_spec, rep),
         check_vma=False)  # lm output replication is by construction (post-psum)
     with jax.default_matmul_precision("highest"):
         new_poses, new_lm = fn(
-            g.poses, g.odo_meas, g.prior_pose, g.prior_info,
+            g.poses, g.odo_meas, g.odo_w, g.prior_pose, g.prior_info,
             g.obs_pose, g.obs_lm, g.obs_xy, edge_counts,
             g.lm_xy, g.n_poses, g.n_landmarks)
     return dataclasses.replace(g, poses=new_poses, lm_xy=new_lm)

@@ -1,0 +1,394 @@
+"""Cross-session map fusion: S independent sessions -> ONE global map.
+
+BASELINE config 5's north star is "multi-session pod-scale mapping". The
+fleet/multisession tiers (tpuslam/parallel/fleet.py, multisession.py) run S
+*independent* mapping problems; this module turns their results into a single
+fused map — the reference's frozen single-session map
+(reference src/slam.cpp:625-633) generalized across sessions:
+
+1. **Alignment** (`align_to_anchor`): per-session SE(2) registration against
+   the anchor session's landmark map — type-gated nearest-pair matching with
+   a closed-form weighted Kabsch update, iterated (planar point-set ICP).
+   Sessions sharing a GPS reference frame (tpuslam sessions all project into
+   the same Mercator local frame, geometry/wgs84.py) start near identity;
+   registration removes residual per-session drift.
+2. **Merge** (`fuse_graphs`): one FactorGraph of capacity (S*P, S*L, S*E):
+   pose chains concatenated and compacted, with the chain edge between
+   session s's last pose and session s+1's first pose severed via
+   `FactorGraph.odo_w = 0`; cross-session duplicate landmarks found by
+   min-label connected components over the type-gated radius graph
+   (optionally computed shard-local over a device mesh — the landmark axis
+   is the sharded dimension, exactly the map-block layout of
+   tpuslam/parallel/map_blocks.py) and merged as observation-count-weighted
+   means; every observation edge remapped into the merged map.
+3. **Joint optimization**: the fused graph is an ordinary FactorGraph, so
+   the whole backend applies unchanged — `gn.optimize` on one chip, the
+   edge-sharded `distributed_optimize` (distributed Schur over ICI), or
+   `chain_optimize` for pose-chain parallelism. Landmarks merged across
+   sessions are observed from multiple sessions' poses: those shared edges
+   ARE the inter-session constraints that pull the chains into one frame.
+
+Gauge: with GPS/heading priors (SlamConfig.improved) the fused system is
+fully anchored. In reference-compat mode (gauge clamping) the fused graph is
+well-posed iff every session shares merged landmarks with the component
+containing session 0 — true for laps of one track; `fusion_report` counts
+cross-session merges so callers can detect a disconnected session.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from tpuslam.backend import gauss_newton as gn
+from tpuslam.backend.graph import FactorGraph, GraphCapacity, empty_graph
+
+__all__ = ["estimate_se2", "transform_graph", "align_to_anchor",
+           "fuse_graphs", "fuse_sessions", "fusion_report"]
+
+_BIG = 1e30
+
+
+# ---------------------------------------------------------------------------
+# SE(2) registration
+# ---------------------------------------------------------------------------
+
+def _apply_se2(t, xy):
+    """Apply transform t = (tx, ty, theta) to points [..., 2]."""
+    c, s = jnp.cos(t[2]), jnp.sin(t[2])
+    x, y = xy[..., 0], xy[..., 1]
+    return jnp.stack([c * x - s * y + t[0], s * x + c * y + t[1]], axis=-1)
+
+
+@partial(jax.jit, static_argnames="iters")
+def estimate_se2(src_xy, src_type, src_valid, dst_xy, dst_type, dst_valid,
+                 gate, iters: int = 8):
+    """SE(2) registering src landmarks onto dst landmarks (planar ICP).
+
+    Each iteration: type-equal nearest-neighbour pairs within `gate`, then
+    the closed-form weighted Kabsch update (rotation from the 2D
+    cross-covariance angle atan2(sum x∧y, sum x·y), translation from the
+    matched centroids). Returns (tform [3] = (tx, ty, theta), n_matched).
+    Fewer than 3 matches leaves the transform at identity for that step.
+    """
+    sv = src_valid
+    dv = dst_valid
+    # annealed gate: start at `gate` to capture the initial offset, finish at
+    # gate/2 so the final iterations reject along-track mis-pairings
+    anneal = jnp.linspace(1.0, 0.5, iters) * jnp.asarray(gate)
+
+    def step(t, gate_i):
+        moved = _apply_se2(t, src_xy)
+        diff = moved[:, None, :] - dst_xy[None, :, :]
+        d2 = jnp.sum(diff * diff, axis=-1)
+        ok = (sv[:, None] & dv[None, :]
+              & (src_type[:, None] == dst_type[None, :])
+              & (d2 < gate_i * gate_i))
+        j = jnp.argmin(jnp.where(ok, d2, _BIG), axis=1)
+        matched = jnp.any(ok, axis=1)
+        w = matched.astype(src_xy.dtype)
+        n = jnp.sum(w)
+        wn = jnp.maximum(n, 1.0)
+        p = moved                      # current source positions
+        q = dst_xy[j]
+        pc = jnp.sum(w[:, None] * p, axis=0) / wn
+        qc = jnp.sum(w[:, None] * q, axis=0) / wn
+        pp = p - pc
+        qq = q - qc
+        a = jnp.sum(w * (pp[:, 0] * qq[:, 0] + pp[:, 1] * qq[:, 1]))
+        b = jnp.sum(w * (pp[:, 0] * qq[:, 1] - pp[:, 1] * qq[:, 0]))
+        dth = jnp.arctan2(b, a)
+        c, s = jnp.cos(dth), jnp.sin(dth)
+        dt = qc - jnp.stack([c * pc[0] - s * pc[1], s * pc[0] + c * pc[1]])
+        # compose the increment with the running transform
+        upd = jnp.stack([
+            c * t[0] - s * t[1] + dt[0],
+            s * t[0] + c * t[1] + dt[1],
+            t[2] + dth])
+        t_new = jnp.where(n >= 3, upd, t)
+        return t_new, n.astype(jnp.int32)
+
+    t0 = jnp.zeros(3, src_xy.dtype)
+    t, ns = jax.lax.scan(step, t0, anneal)
+    return t, ns[-1]
+
+
+def transform_graph(g: FactorGraph, tform) -> FactorGraph:
+    """Rigidly move a session's graph by tform = (tx, ty, theta).
+
+    Poses and landmarks move; odometry measurements (relative SE(2)) and
+    body-frame observation measurements are frame-invariant and stay put.
+    Priors move with the graph (they were measured in the old frame; the
+    fused frame is the anchor's, so aligned sessions' priors re-anchor
+    there — the transform is rigid, so prior information is unchanged).
+    """
+    def move_pose(p):
+        xy = _apply_se2(tform, p[..., :2])
+        return jnp.concatenate([xy, (p[..., 2:] + tform[2])], axis=-1)
+
+    return dataclasses.replace(
+        g,
+        poses=move_pose(g.poses),
+        lm_xy=_apply_se2(tform, g.lm_xy),
+        prior_pose=move_pose(g.prior_pose),
+    )
+
+
+def align_to_anchor(stacked: FactorGraph, gate: float = 1.2,
+                    iters: int = 8):
+    """Register every session of a stacked graph [S] onto session 0's map.
+
+    Returns (stacked graph with sessions 1..S-1 rigidly moved, tforms [S,3],
+    n_matched [S]). Session 0 is the anchor (identity). All sessions must
+    overlap the anchor's track — the Formula-Student fleet case (many laps
+    of one circuit). For chained registration (session s onto the merged
+    map of 0..s-1), call estimate_se2/transform_graph incrementally.
+    """
+    anchor_xy = stacked.lm_xy[0]
+    anchor_type = stacked.lm_type[0]
+    anchor_valid = jnp.arange(anchor_xy.shape[0]) < stacked.n_landmarks[0]
+
+    def one(g_s: FactorGraph):
+        valid = jnp.arange(g_s.lm_xy.shape[0]) < g_s.n_landmarks
+        return estimate_se2(g_s.lm_xy, g_s.lm_type, valid,
+                            anchor_xy, anchor_type, anchor_valid,
+                            gate, iters=iters)
+
+    tforms, ns = jax.vmap(one)(stacked)
+    tforms = tforms.at[0].set(0.0)          # the anchor stays put
+    moved = jax.vmap(transform_graph)(stacked, tforms)
+    return moved, tforms, ns
+
+
+# ---------------------------------------------------------------------------
+# Landmark dedup + merge
+# ---------------------------------------------------------------------------
+
+def _dedup_labels_dense(all_xy, all_type, all_valid, gate2, iters: int):
+    """Min-label connected components over the type-gated radius graph."""
+    sl = all_xy.shape[0]
+    diff = all_xy[:, None, :] - all_xy[None, :, :]
+    d2 = jnp.sum(diff * diff, axis=-1)
+    adj = ((d2 < gate2) & (all_type[:, None] == all_type[None, :])
+           & all_valid[:, None] & all_valid[None, :])
+    labels = jnp.where(all_valid, jnp.arange(sl), sl)
+
+    def body(_, lab):
+        neigh = jnp.where(adj, lab[None, :], sl)
+        return jnp.minimum(lab, jnp.min(neigh, axis=1))
+
+    return jax.lax.fori_loop(0, iters, body, labels)
+
+
+@lru_cache(maxsize=None)
+def _build_dedup_sharded(mesh, axis: str, iters: int, sl: int):
+    """Sharded min-label propagation: each device owns a landmark block and
+    its [SL/n, SL] adjacency rows; labels stay replicated via all_gather.
+    Per-device memory drops from O(SL^2) to O(SL^2/n) — the map-block
+    layout (tpuslam/parallel/map_blocks.py) applied to fusion."""
+    lm_spec = P(axis)
+    rep = P()
+
+    @jax.jit
+    @partial(shard_map, mesh=mesh,
+             in_specs=(lm_spec, lm_spec, lm_spec, rep, rep, rep, rep),
+             out_specs=rep, check_vma=False)
+    def run(xy_l, type_l, valid_l, all_xy, all_type, all_valid, gate2):
+        nloc = xy_l.shape[0]
+        base = jax.lax.axis_index(axis) * nloc
+        diff = xy_l[:, None, :] - all_xy[None, :, :]
+        d2 = jnp.sum(diff * diff, axis=-1)
+        adj = ((d2 < gate2[0]) & (type_l[:, None] == all_type[None, :])
+               & valid_l[:, None] & all_valid[None, :])
+        labels = jnp.where(all_valid, jnp.arange(sl), sl)
+
+        def body(_, lab):
+            neigh = jnp.where(adj, lab[None, :], sl)
+            mine = jnp.minimum(lab[base + jnp.arange(nloc)],
+                               jnp.min(neigh, axis=1))
+            return jax.lax.all_gather(mine, axis).reshape(-1)
+
+        return jax.lax.fori_loop(0, iters, body, labels)
+
+    return run
+
+
+def dedup_labels(all_xy, all_type, all_valid, gate, mesh=None,
+                 axis: str = "edges", iters: int = 8):
+    """Component label per landmark slot (min global index in component);
+    invalid slots get label SL. With `mesh`, adjacency rows are computed
+    shard-local over `mesh[axis]` (landmark-sharded); without, dense."""
+    gate2 = jnp.asarray(gate, all_xy.dtype) ** 2
+    if mesh is None:
+        return _dedup_labels_dense(all_xy, all_type, all_valid, gate2, iters)
+    sl = all_xy.shape[0]
+    run = _build_dedup_sharded(mesh, axis, iters, sl)
+    return run(all_xy, all_type, all_valid, all_xy, all_type, all_valid,
+               gate2[None])
+
+
+def _session_obs_counts(stacked: FactorGraph):
+    """Per-session per-landmark observation counts [S, L] (edge validity
+    masked) — the merge weights. One-hot matmul, not a scatter."""
+    s, e_cap = stacked.obs_lm.shape
+    l_cap = stacked.lm_xy.shape[1]
+
+    def one(obs_lm, n_obs):
+        w = (jnp.arange(e_cap) < n_obs).astype(jnp.float32)
+        onehot = (obs_lm[None, :] == jnp.arange(l_cap)[:, None])
+        return onehot.astype(jnp.float32) @ w
+
+    return jax.vmap(one)(stacked.obs_lm, stacked.n_obs)
+
+
+@partial(jax.jit, static_argnames=("mesh", "axis", "dedup_iters"))
+def fuse_graphs(stacked: FactorGraph, gate: float = 1.2, mesh=None,
+                axis: str = "edges", dedup_iters: int = 8):
+    """Merge a stacked graph [S] into one fused FactorGraph.
+
+    Capacity of the result: (S*P, S*L, S*E). Returns (fused, report) where
+    report = dict(n_merged_landmarks, n_cross_session_merges, labels).
+    Sessions must already be aligned (align_to_anchor).
+    """
+    s, p_cap = stacked.poses.shape[:2]
+    l_cap = stacked.lm_xy.shape[1]
+    e_cap = stacked.obs_pose.shape[1]
+    sp, sl, se = s * p_cap, s * l_cap, s * e_cap
+    dtype = stacked.poses.dtype
+
+    # ---- landmark dedup over the concatenated landmark axis
+    all_xy = stacked.lm_xy.reshape(sl, 2)
+    all_type = stacked.lm_type.reshape(sl)
+    lm_valid = (jnp.arange(l_cap)[None, :]
+                < stacked.n_landmarks[:, None]).reshape(sl)
+    labels = dedup_labels(all_xy, all_type, lm_valid, gate, mesh=mesh,
+                          axis=axis, iters=dedup_iters)
+
+    is_root = lm_valid & (labels == jnp.arange(sl))
+    root_rank = jnp.cumsum(is_root.astype(jnp.int32)) - is_root.astype(jnp.int32)
+    n_merged = jnp.sum(is_root.astype(jnp.int32))
+    # slot of each landmark in the merged map = its root's rank
+    remap = root_rank[jnp.clip(labels, 0, sl - 1)]
+    remap = jnp.where(lm_valid, remap, sl)          # invalid -> dropped
+
+    # ---- merged landmark positions: obs-count-weighted mean over members
+    w_obs = _session_obs_counts(stacked).reshape(sl)
+    w_eff = jnp.where(lm_valid, jnp.maximum(w_obs, 1.0), 0.0)
+    sum_xy = jnp.zeros((sl, 2), dtype).at[remap].add(
+        w_eff[:, None] * all_xy, mode="drop")
+    sum_w = jnp.zeros((sl,), dtype).at[remap].add(w_eff, mode="drop")
+    merged_xy = sum_xy / jnp.maximum(sum_w, 1e-9)[:, None]
+    type_src = jnp.zeros((sl,), jnp.int32).at[remap].max(
+        jnp.where(lm_valid, all_type, 0), mode="drop")
+
+    # cross-session merge count (diagnostic): components with members from
+    # >= 2 sessions
+    sess_of = jnp.arange(sl) // l_cap
+    first_sess = jnp.full((sl,), s, jnp.int32).at[remap].min(
+        jnp.where(lm_valid, sess_of, s), mode="drop")
+    last_sess = jnp.full((sl,), -1, jnp.int32).at[remap].max(
+        jnp.where(lm_valid, sess_of, -1), mode="drop")
+    k = jnp.arange(sl)
+    cross = jnp.sum(((k < n_merged) & (last_sess > first_sess))
+                    .astype(jnp.int32))
+
+    # ---- pose chains: compact sessions back-to-back, sever boundaries
+    pose_offset = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(stacked.n_poses)[:-1]])
+    n_poses_f = jnp.sum(stacked.n_poses)
+    kp = jnp.arange(p_cap)[None, :]
+    pose_ok = kp < stacked.n_poses[:, None]
+    pose_to = jnp.where(pose_ok, pose_offset[:, None] + kp, sp).reshape(sp)
+    is_first = (kp == 0) & pose_ok
+
+    fused = empty_graph(GraphCapacity(sp, sl, se), dtype)
+    fused = dataclasses.replace(
+        fused,
+        poses=fused.poses.at[pose_to].set(stacked.poses.reshape(sp, 3),
+                                          mode="drop"),
+        odo_meas=fused.odo_meas.at[pose_to].set(
+            stacked.odo_meas.reshape(sp, 3), mode="drop"),
+        # sever the chain at each session's first pose (edge k-1 -> k is
+        # meaningless across a session boundary); odo_w[0] is unused anyway
+        odo_w=fused.odo_w.at[pose_to].set(
+            jnp.where(is_first, 0.0, stacked.odo_w.reshape(s, p_cap))
+            .reshape(sp), mode="drop"),
+        prior_pose=fused.prior_pose.at[pose_to].set(
+            stacked.prior_pose.reshape(sp, 3), mode="drop"),
+        prior_info=fused.prior_info.at[pose_to].set(
+            stacked.prior_info.reshape(sp, 2), mode="drop"),
+        n_poses=n_poses_f.astype(jnp.int32),
+    )
+
+    # ---- merged landmarks
+    fused = dataclasses.replace(
+        fused,
+        lm_xy=fused.lm_xy.at[:sl].set(merged_xy),
+        lm_type=fused.lm_type.at[:sl].set(type_src),
+        n_landmarks=n_merged,
+    )
+
+    # ---- observation edges: compact + remap pose/landmark indices
+    edge_offset = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(stacked.n_obs)[:-1]])
+    ke = jnp.arange(e_cap)[None, :]
+    edge_ok = ke < stacked.n_obs[:, None]
+    edge_to = jnp.where(edge_ok, edge_offset[:, None] + ke, se).reshape(se)
+    obs_pose_g = (pose_offset[:, None] + stacked.obs_pose).reshape(se)
+    lm_local = (jnp.arange(s)[:, None] * l_cap + stacked.obs_lm).reshape(se)
+    obs_lm_g = remap[jnp.clip(lm_local, 0, sl - 1)]
+    fused = dataclasses.replace(
+        fused,
+        obs_pose=fused.obs_pose.at[edge_to].set(obs_pose_g, mode="drop"),
+        obs_lm=fused.obs_lm.at[edge_to].set(
+            jnp.clip(obs_lm_g, 0, sl - 1), mode="drop"),
+        obs_xy=fused.obs_xy.at[edge_to].set(
+            stacked.obs_xy.reshape(se, 2), mode="drop"),
+        n_obs=jnp.sum(stacked.n_obs).astype(jnp.int32),
+    )
+    report = dict(n_merged_landmarks=n_merged,
+                  n_cross_session_merges=cross, labels=labels)
+    return fused, report
+
+
+def fusion_report(report) -> dict:
+    """Host-side summary of a fuse_graphs report."""
+    return {"n_merged_landmarks": int(report["n_merged_landmarks"]),
+            "n_cross_session_merges": int(report["n_cross_session_merges"])}
+
+
+# ---------------------------------------------------------------------------
+# The end-to-end flow
+# ---------------------------------------------------------------------------
+
+def fuse_sessions(stacked: FactorGraph, cfg: gn.GNConfig | None = None,
+                  gate: float = 1.2, mesh=None, align: bool = True,
+                  align_iters: int = 8, dedup_iters: int = 8):
+    """S sessions -> one jointly optimized global map.
+
+    stacked: FactorGraph with leading session axis [S] (stack_graphs).
+    With `mesh`: the dedup adjacency is landmark-sharded over mesh['edges']
+    and the joint GN runs as the edge-sharded distributed Schur
+    (tpuslam/parallel/distributed.py). Returns (fused graph, report dict).
+    """
+    if align:
+        stacked, tforms, n_matched = align_to_anchor(stacked, gate,
+                                                     iters=align_iters)
+    else:
+        s = stacked.poses.shape[0]
+        tforms = jnp.zeros((s, 3), stacked.poses.dtype)
+        n_matched = jnp.zeros((s,), jnp.int32)
+    fused, report = fuse_graphs(stacked, gate, mesh=mesh,
+                                dedup_iters=dedup_iters)
+    report = dict(report, tforms=tforms, n_align_matched=n_matched)
+    if cfg is not None:
+        if mesh is not None:
+            from tpuslam.parallel.distributed import distributed_optimize
+            fused = distributed_optimize(fused, cfg, mesh)
+        else:
+            fused = gn.optimize(fused, cfg)
+    return fused, report

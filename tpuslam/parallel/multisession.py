@@ -53,6 +53,7 @@ def _build_run(cfg: gn.GNConfig, mesh, iters: int, cap: GraphCapacity):
 
     in_specs = FactorGraph(
         poses=sess_spec, n_poses=sess_spec, odo_meas=sess_spec,
+        odo_w=sess_spec,
         lm_xy=sess_spec, lm_type=sess_spec, n_landmarks=sess_spec,
         obs_pose=sess_edge_spec, obs_lm=sess_edge_spec, obs_xy=sess_edge_spec,
         n_obs=sess_spec, prior_pose=sess_spec, prior_info=sess_spec)
@@ -64,16 +65,17 @@ def _build_run(cfg: gn.GNConfig, mesh, iters: int, cap: GraphCapacity):
             e_local = st_local.obs_pose.shape[1]
             base = shard * e_local
 
-            def per_session(poses, odo_meas, n_poses, lm_xy, n_landmarks,
-                            obs_pose, obs_lm, obs_xy, n_obs, prior_pose,
-                            prior_info):
+            def per_session(poses, odo_meas, odo_w, n_poses, lm_xy,
+                            n_landmarks, obs_pose, obs_lm, obs_xy, n_obs,
+                            prior_pose, prior_info):
                 dtype = poses.dtype
                 e_idx = base + jnp.arange(e_local)
                 w_l = jnp.asarray(cfg.lm_info, dtype) * (e_idx < n_obs).astype(dtype)
                 parts = gn.landmark_edge_blocks(poses, lm_xy, obs_pose, obs_lm,
                                                 obs_xy, w_l, cap.max_landmarks)
                 g_tmp = FactorGraph(poses=poses, n_poses=n_poses,
-                                    odo_meas=odo_meas, lm_xy=lm_xy,
+                                    odo_meas=odo_meas, odo_w=odo_w,
+                                    lm_xy=lm_xy,
                                     lm_type=jnp.zeros_like(lm_xy[:, 0], jnp.int32),
                                     n_landmarks=n_landmarks,
                                     obs_pose=obs_pose, obs_lm=obs_lm,
@@ -85,7 +87,8 @@ def _build_run(cfg: gn.GNConfig, mesh, iters: int, cap: GraphCapacity):
                 return parts, (h_diag_o * scale, h_off * scale, gp_o * scale)
 
             parts, odo = jax.vmap(per_session)(
-                st_local.poses, st_local.odo_meas, st_local.n_poses,
+                st_local.poses, st_local.odo_meas, st_local.odo_w,
+                st_local.n_poses,
                 st_local.lm_xy, st_local.n_landmarks, st_local.obs_pose,
                 st_local.obs_lm, st_local.obs_xy, st_local.n_obs,
                 st_local.prior_pose, st_local.prior_info)
@@ -100,6 +103,7 @@ def _build_run(cfg: gn.GNConfig, mesh, iters: int, cap: GraphCapacity):
                 gp = (gp_o + gp_lm).reshape(-1)
                 g_tmp = FactorGraph(
                     poses=poses, n_poses=n_poses, odo_meas=poses,
+                    odo_w=jnp.ones(poses.shape[0], poses.dtype),
                     lm_xy=lm_xy, lm_type=jnp.zeros_like(lm_xy[:, 0], jnp.int32),
                     n_landmarks=n_landmarks,
                     obs_pose=jnp.zeros((1,), jnp.int32),

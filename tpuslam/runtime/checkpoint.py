@@ -34,6 +34,7 @@ def save_checkpoint(path: str, state: SlamState, cfg: SlamConfig,
     arrays = {
         "poses": np.asarray(g.poses), "n_poses": np.asarray(g.n_poses),
         "odo_meas": np.asarray(g.odo_meas),
+        "odo_w": np.asarray(g.odo_w),
         "lm_xy": np.asarray(g.lm_xy), "lm_type": np.asarray(g.lm_type),
         "n_landmarks": np.asarray(g.n_landmarks),
         "obs_pose": np.asarray(g.obs_pose), "obs_lm": np.asarray(g.obs_lm),
@@ -65,6 +66,9 @@ def load_checkpoint(path: str, cfg: SlamConfig | None = None):
     g = FactorGraph(
         poses=jnp.asarray(z["poses"]), n_poses=jnp.asarray(z["n_poses"]),
         odo_meas=jnp.asarray(z["odo_meas"]),
+        # absent in format-1 checkpoints from before fusion: uniform chain
+        odo_w=(jnp.asarray(z["odo_w"]) if "odo_w" in z.files
+               else jnp.ones((z["poses"].shape[0],), jnp.float32)),
         lm_xy=jnp.asarray(z["lm_xy"]), lm_type=jnp.asarray(z["lm_type"]),
         n_landmarks=jnp.asarray(z["n_landmarks"]),
         obs_pose=jnp.asarray(z["obs_pose"]), obs_lm=jnp.asarray(z["obs_lm"]),
