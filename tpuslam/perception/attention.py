@@ -11,9 +11,13 @@ the TPU-native redesign:
 - ROI + ground removal as masked vector ops.
 - RANSAC ground plane: all hypotheses evaluated at once (iterations x N
   point-plane distances — one matmul-shaped reduction instead of a loop).
-- Clustering: connected components via min-label propagation over the radius
-  graph — an (N x N) adjacency and a handful of masked-min iterations, the
-  vectorized equivalent of BFS region growing.
+- Clustering: connected components via min-label propagation. Two providers:
+  the dense path materializes the (N x N) radius adjacency (exact, fine to
+  ~4k points); the grid path hashes points into connect-radius cells over
+  the static ROI extent and propagates labels over each point's 3x3-cell
+  candidate list — O(N * 9 * cell_capacity) memory, which is what lets a
+  full ~29k-return VLP-16 sweep (10 Hz rev) run on device where the dense
+  adjacency would need 3.4 GB.
 - Cluster statistics/validation via segment reductions.
 
 Everything is fixed-shape jnp and jit-compatible; point capacity is the
@@ -21,6 +25,7 @@ static bound (pad + mask).
 """
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 from functools import partial
 
