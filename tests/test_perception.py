@@ -285,6 +285,55 @@ def test_service_full_sweep_no_prefilter():
     assert np.median(d) < 0.4, (lm, d)
 
 
+def test_rec_replay_full_sweeps_into_slam(tmp_path):
+    """BASELINE config 4, the full ops path: a .rec of raw PointCloudReading
+    envelopes (TRUE sweep point counts) + Geolocation replayed through the
+    service -> attention -> SLAM map. The reference needed three processes
+    for this (cluon-replay -> attention microservice -> slam,
+    reference usecase/docker-compose.yml); here it is one replay call."""
+    from tpuslam.backend.graph import GraphCapacity
+    from tpuslam.geometry import wgs84
+    from tpuslam.io import messages as M
+    from tpuslam.io.rec import RecWriter
+    from tpuslam.runtime.config import SlamConfig
+    from tpuslam.runtime.service import SlamService
+    from tpuslam.sim.vlp16_sim import scene_to_point_cloud_reading
+
+    scfg = Vlp16SceneConfig(seed=21, noise=0.005)
+    cones_global = np.array([[8.0, 1.5], [11.0, -1.5], [14.0, 1.5],
+                             [17.0, -1.5], [20.0, 1.5]])
+    cfg = SlamConfig(capacity=GraphCapacity(max_poses=32, max_landmarks=32,
+                                            max_obs=512),
+                     time_between_keyframes_ms=50.0)
+    ref = np.array(cfg.gps_reference)
+    rec = tmp_path / "sweeps.rec"
+    with RecWriter(str(rec)) as w:
+        for t in range(4):
+            us = int(t * 0.5e6) + 1000
+            pose = np.array([2.0 * t, 0.0, 0.0])
+            latlon = wgs84.from_cartesian(ref, pose[:2])
+            w.write_message(M.Geolocation(latitude=float(latlon[0]),
+                                          longitude=float(latlon[1]),
+                                          heading=0.0),
+                            sample_us=us, sender_stamp=cfg.estimation_id)
+            lidar = pose[:2] + np.array([1.5, 0.0])
+            w.write_message(scene_to_point_cloud_reading(cones_global - lidar,
+                                                         scfg),
+                            sample_us=us, sender_stamp=42)
+
+    acfg = AttentionConfig(sensor_height=scfg.sensor_height,
+                           ground_layer_z=-scfg.sensor_height,
+                           inlier_found_threshold=1000, min_points=3,
+                           host_prefilter=False, point_capacity=32768)
+    svc = SlamService(cfg, attention_cfg=acfg, lidar_sender_id=42)
+    svc.run_replay(str(rec))
+    assert svc.metrics.counters["point_cloud_messages"] == 4
+    lm, _ = svc.slam.draw_cones()
+    assert 3 <= len(lm) <= len(cones_global) + 1, lm
+    d = np.linalg.norm(lm[:, None, :] - cones_global[None], axis=-1).min(axis=1)
+    assert np.median(d) < 0.4, (lm, d)
+
+
 def test_calibration_xml_parses_reference_file():
     """Parse the reference's shipped boost-serialized VLP-16 calibration
     (reference usecase/VLP-16.xml) and cross-check against the transcribed
