@@ -272,6 +272,35 @@ def main():
 
     _section(extras, "improved_fast", improved_fast_section)
 
+    # improved (FULL): GPS priors + periodic GN every 8 keyframes — the
+    # highest-accuracy mode, now on the blocked pipeline (block=8 so the
+    # periodic boundaries land on block ends; bit-exact vs run_sequence)
+    def improved_full_section():
+        cfg_im = SlamConfig.improved(capacity=cap)
+        st_im, outs_im = run_sequence_blocked(initial_state(cap), obs, valid,
+                                              poses, cfg_im, block=8)
+        jax.block_until_ready(st_im.graph.poses)
+        ate_im = ate(np.asarray(outs_im.pose)[:, :2],
+                     scen.gt_poses[:t_frames, :2])
+
+        def multi_im(k):
+            @jax.jit
+            def run():
+                def one(_, __):
+                    st = init_state(cap)
+                    st, _o, done = BL.blocked_core.__wrapped__(
+                        st, obs_p, valid_p, pose_p, cfg_im, 8)
+                    return (), st.graph.n_poses + done
+                _, ys = jax.lax.scan(one, (), None, length=k)
+                return ys
+            return run
+
+        fps_im = t_frames / timed_slope(multi_im, 2, 8)
+        return {"improved_frames_per_sec_per_chip": round(fps_im, 2),
+                "ate_improved_online_m": round(float(ate_im), 4)}
+
+    _section(extras, "improved_full", improved_full_section)
+
     # VLP-16 front-end throughput (BASELINE config 4): raw sweeps through
     # the on-device cone detector (RANSAC ground plane + label-propagation
     # clustering). The physical sensor spins at 10 Hz, so this is the

@@ -111,9 +111,96 @@ def test_blocked_localizer_refine():
 
 def test_blocked_rejects_unsupported_config():
     obs, valid, poses, cap = _scenario(skidpad, seed=3, laps=1.0)
-    cfg = SlamConfig.improved(capacity=cap)
+    # periodic GN period not a multiple of the block size
+    cfg = SlamConfig.improved(capacity=cap, periodic_gn_every=5)
+    with pytest.raises(ValueError):
+        run_sequence_blocked(initial_state(cap), obs, valid, poses, cfg,
+                             block=8)
+    # Pallas association provider has no blocked form
+    cfg = SlamConfig(capacity=cap, association="nearest",
+                     use_pallas_association=True)
     with pytest.raises(ValueError):
         run_sequence_blocked(initial_state(cap), obs, valid, poses, cfg)
+
+
+@pytest.mark.parametrize("block", [4, 8])
+def test_blocked_periodic_gn_matches_run_sequence(block):
+    """The FULL improved mode (GPS priors + periodic GN every 8 keyframes)
+    through the blocked pipeline: boundaries land on block ends, the in-scan
+    enable-gated GN fires there, and results match the per-frame path
+    (VERDICT round-1 weak #4)."""
+    obs, valid, poses, cap = _scenario(trackdrive, seed=11)
+    cfg = SlamConfig.improved(capacity=cap)
+    assert cfg.periodic_gn_every == 8
+    s1, o1 = run_sequence(initial_state(cap), obs, valid, poses, cfg)
+    s2, o2 = run_sequence_blocked(initial_state(cap), obs, valid, poses,
+                                  cfg, block=block)
+    assert bool(s1.loop_closure_complete)
+    _assert_tree_equal(o1, o2, f"outputs[periodic,B={block}]")
+    _assert_state_equal(s1, s2, f"state[periodic,B={block}]")
+
+
+def test_blocked_mahalanobis_block1_bitexact():
+    """Mahalanobis association through the blocked machinery at block=1:
+    the information lag vanishes, so the result must be bit-exact vs
+    run_sequence (validates gating, zero-info fallback, and the
+    accumulation scatter)."""
+    obs, valid, poses, cap = _scenario(trackdrive, seed=11)
+    cfg = SlamConfig.improved(capacity=cap, association="mahalanobis",
+                              periodic_gn_every=0)
+    s1, o1 = run_sequence(initial_state(cap), obs, valid, poses, cfg)
+    s2, o2 = run_sequence_blocked(initial_state(cap), obs, valid, poses,
+                                  cfg, block=1)
+    assert bool(s1.loop_closure_complete)
+    _assert_tree_equal(o1, o2, "outputs[mahal,B=1]")
+    _assert_state_equal(s1, s2, "state[mahal,B=1]")
+
+
+def _mahal_scenario():
+    """The scenario test_improved_mode.py validates mahalanobis on: healthy
+    map growth, no capacity saturation."""
+    from tpuslam.sim import SimConfig, simulate
+    scen = simulate(skidpad(), SimConfig(laps=1.3, seed=1))
+    cap = GraphCapacity(max_poses=128, max_landmarks=128, max_obs=4096)
+    return (jnp.asarray(scen.obs, jnp.float32),
+            jnp.asarray(scen.obs_valid),
+            jnp.asarray(scen.odom_poses, jnp.float32), cap)
+
+
+def test_blocked_mahalanobis_block8_lag_contract():
+    """Mahalanobis at block=8: phase-A gating lags by < block frames (the
+    documented contract), so association decisions may differ marginally —
+    the session must still close the loop, build the same-sized map (+-2),
+    and publish a trajectory within centimeters of the per-frame path."""
+    obs, valid, poses, cap = _mahal_scenario()
+    cfg = SlamConfig(capacity=cap, association="mahalanobis")
+    s1, o1 = run_sequence(initial_state(cap), obs, valid, poses, cfg)
+    s2, o2 = run_sequence_blocked(initial_state(cap), obs, valid, poses,
+                                  cfg, block=8)
+    assert bool(s2.loop_closure_complete)
+    n1, n2 = int(s1.graph.n_landmarks), int(s2.graph.n_landmarks)
+    assert n1 < cap.max_landmarks          # healthy (unsaturated) map
+    assert abs(n1 - n2) <= 2, (n1, n2)
+    d = np.linalg.norm(np.asarray(o1.pose)[:, :2] - np.asarray(o2.pose)[:, :2],
+                       axis=1)
+    assert float(np.max(d)) < 0.05, float(np.max(d))
+
+
+def test_blocked_improved_full_matches_run_sequence():
+    """Mahalanobis + GPS priors + periodic GN together (the highest-accuracy
+    config) at block=8 stays within the same contract as the lag test."""
+    obs, valid, poses, cap = _mahal_scenario()
+    cfg = SlamConfig.improved(capacity=cap, association="mahalanobis")
+    s1, o1 = run_sequence(initial_state(cap), obs, valid, poses, cfg)
+    s2, o2 = run_sequence_blocked(initial_state(cap), obs, valid, poses,
+                                  cfg, block=8)
+    assert bool(s2.loop_closure_complete)
+    n1, n2 = int(s1.graph.n_landmarks), int(s2.graph.n_landmarks)
+    assert n1 < cap.max_landmarks
+    assert abs(n1 - n2) <= 2, (n1, n2)
+    d = np.linalg.norm(np.asarray(o1.pose)[:, :2] - np.asarray(o2.pose)[:, :2],
+                       axis=1)
+    assert float(np.max(d)) < 0.05, float(np.max(d))
 
 
 def test_blocked_edge_capacity_saturation_falls_back():

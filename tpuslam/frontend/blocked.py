@@ -53,11 +53,32 @@ Equivalence to `run_sequence` is bit-exact for association policies 'first'
 (the reference's) and 'nearest' — enforced by
 tests/test_blocked_equivalence.py; the improved mode's GPS/heading priors
 are supported (the closure frame's published pose/packet are patched to the
-post-GN graph). Unsupported configs (mahalanobis information accumulation,
-the Pallas association provider, periodic GN) raise — use `run_sequence`
-for those; `SlamConfig.improved(periodic_gn_every=0)` is the blocked-
-compatible accuracy configuration (within ~0.01 m online ATE of the
-periodic-GN form, identical final ATE).
+post-GN graph). The full improved mode is also blocked:
+
+- **Periodic GN** (cfg.periodic_gn_every = k > 0): supported when k is a
+  whole number of blocks (k % block == 0), so every firing boundary lands
+  on a block's LAST committed frame — the scan body then runs one
+  enable-gated `gn.optimize` per block (zero-trip on non-boundary blocks)
+  and execution is bit-exact vs the per-frame path: non-firing frames see
+  exactly the map the per-frame path showed them (GN only ever ran at
+  block boundaries), and the firing frame's published pose/packet are
+  patched to the post-GN graph in-body. Boundaries that land mid-block at
+  runtime (GPS-outlier frames shift keyframe_count, or a boundary
+  coincides with the closure frame) raise the block's fallback flag and
+  the per-frame path finishes the lap — never on a healthy lap.
+- **Mahalanobis association** (cfg.association = 'mahalanobis'): the
+  phase-A gate uses the block-START `lm_info_xy` (per-frame semantics
+  accumulate within the frame stream, so blocked gating lags by at most
+  block-1 frames — bit-exact at block=1, enforced in tests); in-block
+  creations compete under the zero-information scaled-Euclidean gate
+  (exactly `_gate_cost`'s fresh-landmark branch); committed observations
+  scatter-add their information once per block, totalling exactly what the
+  per-frame path accumulates for identical association decisions.
+  Localization-mode gating is exact at any block size (information is
+  frozen after closure).
+
+Still unsupported (raise — use `run_sequence`): the Pallas association
+provider, scan-form (non-vectorized) mapping.
 """
 from __future__ import annotations
 
@@ -70,8 +91,8 @@ import jax.numpy as jnp
 from tpuslam.backend import gauss_newton as gn
 from tpuslam.backend import graph as G
 from tpuslam.frontend.keyframe import (
-    KeyframeOutputs, _body_xy, _gn_config, _pose_refine,
-    _prefix_argmin_exclusive, perform_keyframe,
+    KeyframeOutputs, _body_xy, _gate_cost, _gn_config, _obs_information,
+    _pose_refine, _prefix_argmin_exclusive, perform_keyframe,
 )
 from tpuslam.frontend.state import SlamState
 from tpuslam.geometry import se2
@@ -82,12 +103,14 @@ __all__ = ["run_sequence_blocked", "run_pass_blocked", "blocked_supported",
            "blocked_core"]
 
 
-def blocked_supported(cfg: SlamConfig) -> bool:
-    """Configs the block-fast path reproduces exactly."""
-    return (cfg.association in ("first", "nearest")
+def blocked_supported(cfg: SlamConfig, block: int = 8) -> bool:
+    """Configs the block-fast path reproduces (module docstring has the
+    mahalanobis lag contract; everything else is bit-exact)."""
+    return (cfg.association in ("first", "nearest", "mahalanobis")
             and not cfg.use_pallas_association
             and cfg.vectorized_mapping
-            and cfg.periodic_gn_every == 0)
+            and (cfg.periodic_gn_every == 0
+                 or cfg.periodic_gn_every % block == 0))
 
 
 def _last_valid_inclusive(init, has, val):
@@ -235,12 +258,17 @@ def _mapping_block(state: SlamState, obs, valid, poses, okp,
     g = G.add_observation(g, pose_idx_f[0], jnp.int32(0), body_k[0],
                           enable=boot)
 
-    # ---- phase A: association against the block-start (post-boot) map
+    # ---- phase A: association against the block-start (post-boot) map.
+    # Mahalanobis configs gate with the block-start lm_info_xy (the boot
+    # landmark's zero info row reproduces the per-frame scaled-Euclidean
+    # bootstrap patch exactly); Euclidean configs get (d2, thresh2) back
+    # unchanged from _gate_cost.
     lm_valid1 = jnp.arange(cap_l) < g.n_landmarks
     diff = glob_k[:, None, :] - g.lm_xy[None, :, :]
-    cost = jnp.sum(diff * diff, axis=-1)
+    d2m = jnp.sum(diff * diff, axis=-1)
+    cost, gate = _gate_cost(diff, d2m, state.lm_info_xy, cfg)
     ok = ((g.lm_type[None, :] == otype_k[:, None]) & lm_valid1[None, :]
-          & (cost < thresh2) & valid_k[:, None])
+          & (cost < gate) & valid_k[:, None])
     if cfg.association == "first":
         j_snap = jnp.argmax(ok, axis=1).astype(jnp.int32)
     else:
@@ -268,15 +296,20 @@ def _mapping_block(state: SlamState, obs, valid, poses, okp,
     prev_ok = rep_ok & (frame_of[None, :] < frame_of[:, None])
     same_ok = rep_ok & (frame_of[None, :] == frame_of[:, None])
     prev_any = jnp.any(prev_ok, axis=1)
-    if cfg.association == "nearest":
+    if cfg.association in ("nearest", "mahalanobis"):
         gd2_prev = jnp.where(prev_ok, gd2, jnp.inf)
         rep_prev = jnp.argmin(gd2_prev, axis=1).astype(jnp.int32)
         d2_ib = jnp.min(gd2_prev, axis=1)
         cost_snap = jnp.where(
             snap_match,
             jnp.take_along_axis(cost, j_snap[:, None], axis=1)[:, 0], jnp.inf)
+        # in-block creations carry no block-start information, so under
+        # mahalanobis they compete at _gate_cost's zero-info scaled-
+        # Euclidean cost (gate units match cost_snap's)
+        ib_cost = d2_ib * (gate / thresh2) \
+            if cfg.association == "mahalanobis" else d2_ib
         # strict <: ties go to the snapshot landmark (lower vertex index)
-        use_ib = prev_any & (d2_ib < cost_snap)
+        use_ib = prev_any & (ib_cost < cost_snap)
     else:
         rep_prev = jnp.argmax(prev_ok, axis=1).astype(jnp.int32)
         use_ib = prev_any & ~snap_match
@@ -367,6 +400,18 @@ def _mapping_block(state: SlamState, obs, valid, poses, okp,
         n_obs=jnp.minimum(g.n_obs + n_keep, cap_e),
     )
 
+    # ---- per-landmark information accumulation (mahalanobis): every
+    # committed observation adds its R^-1; one scatter-add for the block,
+    # totals identical to the per-frame path for identical decisions
+    lm_info = state.lm_info_xy
+    if cfg.association == "mahalanobis":
+        pose_bn = poses[frame_of]
+        info_obs = jax.vmap(
+            lambda gl, po, di: _obs_information(gl, po, di, cfg))(
+            glob_k, pose_bn, d2car_k)
+        info_to = jnp.where(keep, target, cap_l)
+        lm_info = lm_info.at[info_to].add(info_obs, mode="drop")
+
     # ---- committed currentConeIndex series
     cur_cand = matched | (dup_same_s & slot_ok)
     vals_cur = jnp.where(cur_cand, d2car_k, jnp.inf).reshape(B, N)
@@ -388,6 +433,7 @@ def _mapping_block(state: SlamState, obs, valid, poses, okp,
         loop_closing=state.loop_closing | closure_any,
         loop_closure_complete=state.loop_closure_complete | closure_any,
         keyframe_count=state.keyframe_count + jnp.sum(ins.astype(jnp.int32)),
+        lm_info_xy=lm_info,
     )
 
     any_act = jnp.any(okp)
@@ -398,7 +444,7 @@ def _mapping_block(state: SlamState, obs, valid, poses, okp,
     if overflow is not None:   # compaction dropped valid observations
         fallback = fallback | jnp.any(overflow & okp)
     aux = dict(closure_any=closure_any, kc_frame=kc_frame, fallback=fallback,
-               cur_series=cur_after, n_lm_series=n_lm_after)
+               cur_series=cur_after, n_lm_series=n_lm_after, ins=ins)
     return new_state, outputs, aux
 
 
@@ -426,15 +472,17 @@ def _loc_block(state: SlamState, obs, valid, poses, okp, cfg: SlamConfig,
     vloc_k = (valid & ran[:, None]).reshape(BN)
 
     diff = glob_k[:, None, :] - g.lm_xy[None, :, :]
-    cost = jnp.sum(diff * diff, axis=-1)
+    d2m = jnp.sum(diff * diff, axis=-1)
+    # post-closure information is frozen, so the mahalanobis gate here is
+    # exact at any block size (Euclidean configs get (d2, thresh2) back)
+    cost, gate = _gate_cost(diff, d2m, state.lm_info_xy, cfg)
     lm_valid = jnp.arange(cap_l) < g.n_landmarks
     if cfg.reference_compat and cfg.localizer_type_bug:
         type_ok = (g.lm_type[None, :].astype(jnp.float32)
                    - obs_k[:, 3][:, None]) < 1e-4     # src/slam.cpp:360
     else:
         type_ok = g.lm_type[None, :] == obs_k[:, 3].astype(jnp.int32)[:, None]
-    okm = (type_ok & lm_valid[None, :] & vloc_k[:, None]
-           & (cost < cfg.same_cone_threshold ** 2))
+    okm = (type_ok & lm_valid[None, :] & vloc_k[:, None] & (cost < gate))
     j = jnp.argmax(okm, axis=1).astype(jnp.int32)    # first match per obs
     matched = jnp.any(okm, axis=1)
 
@@ -482,7 +530,8 @@ def _loc_block(state: SlamState, obs, valid, poses, okp, cfg: SlamConfig,
     fallback = (g0.n_poses + B > g0.poses.shape[0]) & jnp.any(okp)
     if overflow is not None:   # compaction dropped valid observations
         fallback = fallback | jnp.any(overflow & okp)
-    return new_state, outputs, fallback
+    aux = dict(fallback=fallback, cur_series=cur_after, okp=okp)
+    return new_state, outputs, aux
 
 
 def _select_state(pred, a: SlamState, b: SlamState) -> SlamState:
@@ -522,6 +571,36 @@ def blocked_core(state: SlamState, obs_seq, valid_seq, pose_seq,
     closed0 = state.loop_closure_complete
     fidx = jnp.arange(B, dtype=jnp.int32)
 
+    # periodic GN (improved mode): one enable-gated optimize per block,
+    # firing only when the keyframe-count boundary lands on the block's
+    # LAST committed frame (exactness argument in the module docstring);
+    # mid-block boundaries raise the block's fallback flag.
+    if cfg.periodic_gn_every > 0:
+        pcfg = dataclasses.replace(_gn_config(cfg),
+                                   iterations=cfg.periodic_gn_iterations)
+        if vmap_safe_gn:
+            pcfg = dataclasses.replace(pcfg, solve_bucket_step=0,
+                                       edge_bucket_step=0)
+
+        def periodic_fires(count0, ins, n_lm_series):
+            counts = count0 + jnp.cumsum(ins.astype(jnp.int32))
+            return (ins & (counts % cfg.periodic_gn_every == 0)
+                    & (n_lm_series > 4))
+
+        def patch_last_packet(outs, g2, n_lm_last, cur_last, do_p):
+            azp, dp_, tp_ = _packet_series(g2.lm_xy, g2.lm_type,
+                                           n_lm_last[None], cur_last[None],
+                                           outs.pose[-1][None], cfg)
+            return dataclasses.replace(
+                outs,
+                cone_azimuth=outs.cone_azimuth.at[-1].set(
+                    jnp.where(do_p, azp[0], outs.cone_azimuth[-1])),
+                cone_distance=outs.cone_distance.at[-1].set(
+                    jnp.where(do_p, dp_[0], outs.cone_distance[-1])),
+                cone_type=outs.cone_type.at[-1].set(
+                    jnp.where(do_p, tp_[0], outs.cone_type[-1])),
+            )
+
     # ---- scan-1: mapping blocks, stop at closure or fallback
     def body1(carry, blk):
         st, stopped = carry
@@ -532,6 +611,25 @@ def blocked_core(state: SlamState, obs_seq, valid_seq, pose_seq,
         ns, outs, aux = _mapping_block(st, o, v, p, okp, cfg, boot_ok=fv,
                                        overflow=ov)
         fb = aux["fallback"] & active
+        if cfg.periodic_gn_every > 0:
+            fires = periodic_fires(st.keyframe_count, aux["ins"],
+                                   aux["n_lm_series"])
+            # a boundary mid-block, or coinciding with the closure frame
+            # (per-frame order: closure GN then periodic GN), -> fallback
+            fb = fb | (active & (jnp.any(fires[:-1])
+                                 | (fires[-1] & aux["closure_any"])))
+            do_p = fires[-1] & ~aux["closure_any"] & active & ~fb
+            g2 = gn.optimize(ns.graph, pcfg, enable=do_p)
+            ns = dataclasses.replace(ns, graph=g2)
+            if cfg.use_gps_prior:
+                # the firing frame publishes its post-GN graph estimate
+                # (perform_keyframe's use_graph path)
+                pl = g2.poses[jnp.maximum(g2.n_poses - 1, 0)]
+                outs = dataclasses.replace(
+                    outs, pose=outs.pose.at[-1].set(
+                        jnp.where(do_p, pl, outs.pose[-1])))
+            outs = patch_last_packet(outs, g2, aux["n_lm_series"][-1],
+                                     aux["cur_series"][-1], do_p)
         st2 = _select_state(fb, st, ns)
         committed = active & ~fb
         # frames after the closure frame belong to scan-2
@@ -594,7 +692,19 @@ def blocked_core(state: SlamState, obs_seq, valid_seq, pose_seq,
         okp = ((jnp.abs(p[:, 0]) <= cfg.gps_outlier_bound)
                & (jnp.abs(p[:, 1]) <= cfg.gps_outlier_bound)
                & (frames > kc_global) & active)
-        ns, outs, fb = _loc_block(st, o, v, p, okp, cfg, overflow=ov)
+        ns, outs, aux2 = _loc_block(st, o, v, p, okp, cfg, overflow=ov)
+        fb = aux2["fallback"]
+        if cfg.periodic_gn_every > 0:
+            n_lm_b = jnp.broadcast_to(ns.graph.n_landmarks, (B,))
+            fires = periodic_fires(st.keyframe_count, aux2["okp"], n_lm_b)
+            fb = fb | (active & jnp.any(fires[:-1]))
+            do_p = fires[-1] & active & ~fb
+            g2 = gn.optimize(ns.graph, pcfg, enable=do_p)
+            ns = dataclasses.replace(ns, graph=g2)
+            # published pose stays localizer-refined (computed pre-GN, as
+            # per-frame); only the firing frame's packet sees the new map
+            outs = patch_last_packet(outs, g2, n_lm_b[-1],
+                                     aux2["cur_series"][-1], do_p)
         st2 = _select_state(fb, st, ns)
         m2 = active & ~fb & (frames > kc_global)
         return (st2, stopped | fb), (outs, m2, fb)
@@ -660,11 +770,12 @@ def run_sequence_blocked(state: SlamState, obs_seq, valid_seq, pose_seq,
     bootstrap/capacity fallback (never on a healthy lap), finishes the
     remaining frames with the per-frame scan in a second dispatch.
     """
-    if not blocked_supported(cfg):
+    if not blocked_supported(cfg, block):
         raise ValueError(
             "run_sequence_blocked: unsupported config (needs association in "
-            "('first','nearest'), no pallas association, vectorized mapping, "
-            "no periodic GN) — use run_sequence")
+            "('first','nearest','mahalanobis'), no pallas association, "
+            "vectorized mapping, periodic_gn_every a multiple of the block "
+            "size) — use run_sequence")
     obs_seq, valid_seq, pose_seq, T = _pad_inputs(obs_seq, valid_seq,
                                                   pose_seq, cfg, block)
     # edge capacity below one block's rows: the mapping body cannot trace
@@ -728,7 +839,7 @@ def run_sequences_blocked_batched(states: SlamState, obs_seq, valid_seq,
     unhandled bootstrap/capacity fallback (never on healthy laps) are
     finished per-frame in follow-up dispatches.
     """
-    if not blocked_supported(cfg):
+    if not blocked_supported(cfg, block):
         raise ValueError("unsupported config — see run_sequence_blocked")
     S, T = obs_seq.shape[:2]
     pad = (-T) % block

@@ -90,18 +90,43 @@ def _obs_information(glob, pose, dist, cfg: SlamConfig):
     return jnp.stack([a, b, c], axis=-1)        # [..., 3]
 
 
+def _innovation_info(lm_info, cfg: SlamConfig):
+    """Packed (a, b, c) posterior landmark information -> packed INNOVATION
+    information (Sigma_lm + sigma_r^2 I)^-1.
+
+    Gating a new observation against the landmark's raw posterior
+    information is statistically wrong: the innovation covariance is the
+    landmark covariance PLUS the observation's own noise. Without the noise
+    term the gate shrinks without bound as observations accumulate (a
+    50-observation landmark would reject genuine re-detections beyond
+    ~0.13 m), over-creating duplicate landmarks and making any fixed-lag /
+    blocked gating decision-unstable. With it, the gate tightens from the
+    fresh-landmark radius toward the sensor-noise floor and no further."""
+    a, b, c = lm_info[..., 0], lm_info[..., 1], lm_info[..., 2]
+    det = jnp.maximum(a * c - b * b, 1e-12)
+    s2 = jnp.asarray(cfg.obs_noise_std, lm_info.dtype) ** 2
+    # Sigma = [[c, -b], [-b, a]] / det;  S = Sigma + s2*I;  return packed S^-1
+    sa = c / det + s2
+    sb = -b / det
+    sc = a / det + s2
+    dets = jnp.maximum(sa * sc - sb * sb, 1e-12)
+    return jnp.stack([sc / dets, -sb / dets, sa / dets], axis=-1)
+
+
 def _gate_cost(diff, d2, lm_info, cfg: SlamConfig):
     """(N x M) gating cost + threshold: squared Euclidean vs the reference
-    threshold, or Mahalanobis d^T Sigma^-1 d vs the chi-square bound.
-    Landmarks with no accumulated information (zero rows) fall back to the
-    Euclidean gate so brand-new maps behave identically."""
+    threshold, or Mahalanobis d^T S^-1 d (S = innovation covariance, see
+    `_innovation_info`) vs the chi-square bound. Landmarks with no
+    accumulated information (zero rows) fall back to the Euclidean gate so
+    brand-new maps behave identically."""
     if cfg.association != "mahalanobis":
         return d2, cfg.same_cone_threshold ** 2
-    a, b, c = lm_info[:, 0], lm_info[:, 1], lm_info[:, 2]
+    inno = _innovation_info(lm_info, cfg)
+    a, b, c = inno[:, 0], inno[:, 1], inno[:, 2]
     dx, dy = diff[..., 0], diff[..., 1]
     mahal = a[None, :] * dx * dx + 2.0 * b[None, :] * dx * dy \
         + c[None, :] * dy * dy
-    has_info = (a + c)[None, :] > 0.0
+    has_info = (lm_info[:, 0] + lm_info[:, 2])[None, :] > 0.0
     thresh2 = cfg.same_cone_threshold ** 2
     cost = jnp.where(has_info, mahal,
                      d2 * (cfg.mahalanobis_gate / thresh2))
@@ -163,10 +188,11 @@ def _associate_map_sharded(state: SlamState, glob_all, obs, obs_valid,
         thresh2 = cfg.same_cone_threshold ** 2
         fallback = cfg.mahalanobis_gate / thresh2
         info = state.lm_info_xy
+        inno = _innovation_info(info, cfg)
         has = (info[:, 0] + info[:, 2]) > 0.0
-        a = jnp.where(has, info[:, 0], fallback)
-        b = jnp.where(has, info[:, 1], 0.0)
-        c = jnp.where(has, info[:, 2], fallback)
+        a = jnp.where(has, inno[:, 0], fallback)
+        b = jnp.where(has, inno[:, 1], 0.0)
+        c = jnp.where(has, inno[:, 2], fallback)
         cov_inv = jnp.stack(
             [jnp.stack([a, b], -1), jnp.stack([b, c], -1)], -2)
         j, matched, _ = associate_sharded(
@@ -199,7 +225,7 @@ def _associate_pallas(state: SlamState, glob_all, obs, obs_valid,
         fallback = cfg.mahalanobis_gate / thresh2
         info = state.lm_info_xy
         has = (info[:, 0] + info[:, 2]) > 0.0
-        packed = jnp.where(has[:, None], info,
+        packed = jnp.where(has[:, None], _innovation_info(info, cfg),
                            jnp.asarray([fallback, 0.0, fallback], info.dtype))
         j, matched, _ = associate_pallas(
             glob_all, otype_eff, g.lm_xy, lm_type_eff,
