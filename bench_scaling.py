@@ -65,6 +65,9 @@ def main():
                          "a TPU plugin that ignores JAX_PLATFORMS; cpu + "
                          "XLA_FLAGS=--xla_force_host_platform_device_count=8 "
                          "gives the virtual validation mesh)")
+    ap.add_argument("--out", default=None,
+                    help="also write the results JSON to this file (the "
+                         "per-round SCALING_r{N}.json artifact)")
     args = ap.parse_args()
     import jax
     if args.platform:
@@ -189,7 +192,33 @@ def main():
         "efficiency": round(tf_1 / tf_n, 3),
     }
 
+    # --- chain (sequence) parallelism: the pose chain split over devices,
+    # replicated reduced solve vs the distributed domain-decomposition
+    # solve (parallel/chain.py) — the DD speedup is the headline here
+    if n_dev > 1:
+        from scripts.bench_chain_solvers import synth
+        from tpuslam.parallel import chain_optimize, make_chain_mesh
+        from tpuslam.parallel.chain import partition_chain
+        n_chain = 512
+        gch = synth(n_chain, n_chain)
+        mesh_ch = make_chain_mesh(n_dev)
+        plan = partition_chain(gch, n_dev)
+        ccfg = gn.GNConfig(iterations=4)
+        t_rep = timeit(lambda: chain_optimize(gch, ccfg, mesh_ch,
+                                              solver="replicated"), reps=3)
+        t_dd = timeit(lambda: chain_optimize(gch, ccfg, mesh_ch,
+                                             solver="dd", plan=plan), reps=3)
+        results["chain_dd_solve"] = {
+            "poses": n_chain, "landmarks": n_chain,
+            "shared_landmarks": plan.n_shared,
+            "t_replicated_s": round(t_rep, 4), "t_dd_s": round(t_dd, 4),
+            "dd_speedup": round(t_rep / t_dd, 2),
+        }
+
     print(json.dumps(results))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -28,10 +28,13 @@ import json
 import os
 import subprocess
 import sys
+import time
 
-N_PROCS = 2
-DEV_PER_PROC = 2
-COORD = "127.0.0.1:9923"
+# Process-group geometry comes from the environment so the launcher can run
+# a 2/4/8 sweep; each group uses its own coordinator port.
+N_PROCS = int(os.environ.get("TPUSLAM_SMOKE_PROCS", "2"))
+DEV_PER_PROC = int(os.environ.get("TPUSLAM_SMOKE_DEVS", "2"))
+COORD = "127.0.0.1:" + os.environ.get("TPUSLAM_SMOKE_PORT", "9923")
 
 
 def worker(proc_id: int) -> int:
@@ -132,18 +135,64 @@ def worker(proc_id: int) -> int:
     return 0 if (ok and fleet_ok) else 1
 
 
-def launcher() -> int:
-    procs = [subprocess.Popen(
+def _spawn_group(n_procs: int, port: int):
+    env = {**os.environ, "JAX_PLATFORMS": "cpu",
+           "TPUSLAM_SMOKE_PROCS": str(n_procs),
+           "TPUSLAM_SMOKE_PORT": str(port)}
+    return [subprocess.Popen(
         [sys.executable, os.path.abspath(__file__), "--proc", str(i)],
-        env={**os.environ, "JAX_PLATFORMS": "cpu"})
-        for i in range(N_PROCS)]
-    rcs = [p.wait(timeout=600) for p in procs]
-    print(json.dumps({"launcher": "done", "return_codes": rcs}))
-    return 0 if all(rc == 0 for rc in rcs) else 1
+        env=env) for i in range(n_procs)]
+
+
+def run_group(n_procs: int, port: int, timeout: int = 600) -> dict:
+    procs = _spawn_group(n_procs, port)
+    rcs = [p.wait(timeout=timeout) for p in procs]
+    return {"procs": n_procs, "return_codes": rcs,
+            "ok": all(rc == 0 for rc in rcs)}
+
+
+def run_death_case(n_procs: int, port: int, grace: float = 8.0,
+                   survivor_timeout: int = 240) -> dict:
+    """Failure injection: SIGKILL the last rank mid-run; the survivors must
+    EXIT (collective/coordinator error) rather than hang. Kills the exact
+    child PID only."""
+    procs = _spawn_group(n_procs, port)
+    time.sleep(grace)
+    procs[-1].kill()
+    procs[-1].wait()
+    rcs = []
+    for p in procs[:-1]:
+        try:
+            rcs.append(p.wait(timeout=survivor_timeout))
+        except subprocess.TimeoutExpired:
+            p.kill()
+            p.wait()
+            rcs.append("hung")
+    no_hang = all(isinstance(rc, int) for rc in rcs)
+    return {"procs": n_procs, "death": "rank -1 SIGKILL",
+            "survivor_rcs": rcs, "no_hang": no_hang, "ok": no_hang}
+
+
+def launcher(proc_counts, death: bool) -> int:
+    results = []
+    port = 9923
+    for n in proc_counts:
+        results.append(run_group(n, port))
+        port += 1
+    if death:
+        results.append(run_death_case(max(proc_counts), port))
+    print(json.dumps({"launcher": "done", "groups": results}))
+    return 0 if all(r["ok"] for r in results) else 1
 
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--proc", type=int, default=None)
+    ap.add_argument("--procs", default="2",
+                    help="comma list of process counts to sweep (e.g. 2,4,8)")
+    ap.add_argument("--death", action="store_true",
+                    help="add the process-death injection case")
     args = ap.parse_args()
-    sys.exit(worker(args.proc) if args.proc is not None else launcher())
+    if args.proc is not None:
+        sys.exit(worker(args.proc))
+    sys.exit(launcher([int(x) for x in args.procs.split(",")], args.death))

@@ -18,14 +18,21 @@ import json
 import os
 import time
 
-_f = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _f:
-    os.environ["XLA_FLAGS"] = (_f + " --xla_force_host_platform_device_count=8").strip()
 
-import jax
+def _force_virtual_cpu_mesh():
+    """Must run before the first jax device use (see tests/conftest.py)."""
+    _f = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _f:
+        os.environ["XLA_FLAGS"] = (
+            _f + " --xla_force_host_platform_device_count=8").strip()
+    import jax
+    jax.config.update("jax_platforms", "cpu")
 
-jax.config.update("jax_platforms", "cpu")
 
+if __name__ == "__main__":
+    _force_virtual_cpu_mesh()
+
+import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 

@@ -46,7 +46,10 @@ class GNConfig:
     fix_first_poses: int = 2                       # vertices 1000,1001 (src/slam.cpp:464-468)
     fix_first_landmarks: int = 2                   # vertices 0,1 (src/slam.cpp:470-474)
     damping: float = 0.0                           # optional Levenberg diag boost
-    use_cholesky_kernel: bool = False              # route S solve through Pallas
+    use_cholesky_kernel: bool = False   # Pallas S solve — RETIRED from the
+    # production path after measurement (XLA wins ~2x at closure-scale and
+    # 2-3x batched; full table in ops/cholesky.py); kept as a validated
+    # reference implementation
     matmul_precision: str = "highest"              # MXU passes for assembly/Schur:
     # "highest" = full f32 (6-pass bf16); "high" = 3-pass; "default" = raw
     # bf16. The normal equations square the conditioning, so "default" is
