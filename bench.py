@@ -50,14 +50,26 @@ def _check_pallas_kernels_on_device():
     lm = jnp.asarray(rng.normal(0, 10, (512, 2)), jnp.float32)
     lm_t = jnp.asarray(rng.integers(1, 4, 512), jnp.int32)
     dev = associate_pallas(obs, obs_t, lm, lm_t, 1.44)
-    ref = associate_pallas(obs, obs_t, lm, lm_t, 1.44, interpret=True)
-    for a, b in zip(jax.tree.leaves(dev), jax.tree.leaves(ref)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
     a = rng.normal(0, 1, (256, 256))
     a = jnp.asarray(a @ a.T + 256 * np.eye(256), jnp.float32)
-    np.testing.assert_allclose(np.asarray(cholesky_pallas(a)),
-                               np.asarray(cholesky_pallas(a, interpret=True)),
-                               rtol=2e-4, atol=2e-4)
+    chol_dev = np.asarray(cholesky_pallas(a))
+    # interpret-mode oracles must run on the HOST cpu backend: on the
+    # remote-tunneled chip the interpreter's op-by-op eager dispatch costs a
+    # ~25 ms round trip per op (minutes per kernel)
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        ref = associate_pallas(jax.device_put(obs, cpu),
+                               jax.device_put(obs_t, cpu),
+                               jax.device_put(lm, cpu),
+                               jax.device_put(lm_t, cpu), 1.44,
+                               interpret=True)
+        chol_ref = np.asarray(cholesky_pallas(jax.device_put(a, cpu),
+                                              interpret=True))
+    # cross-backend comparison (TPU MXU vs host-CPU f32 accumulation):
+    # looser than the old on-device-interpret check by design
+    for x, y in zip(jax.tree.leaves(dev), jax.tree.leaves(ref)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-4)
+    np.testing.assert_allclose(chol_dev, chol_ref, rtol=5e-3, atol=5e-3)
 
 
 def _note(msg):
@@ -297,7 +309,7 @@ def main():
 
         fps_im = t_frames / timed_slope(multi_im, 2, 8)
         return {"improved_frames_per_sec_per_chip": round(fps_im, 2),
-                "ate_improved_online_m": round(float(ate_im), 4)}
+                "ate_improved_blocked_online_m": round(float(ate_im), 4)}
 
     _section(extras, "improved_full", improved_full_section)
 
@@ -381,13 +393,14 @@ def main():
         us_egress = timed_slope(egress_scan, 1, 3) / t_frames * 1e6
 
         us_pass_frame = sec_per_pass / t_frames * 1e6
-        us_other = us_pass_frame - us_assoc - us_egress \
-            - us_solve / t_frames  # one closure GN per lap
         out.update({
-            "stage_association_us_per_frame": round(us_assoc, 2),
+            # STANDALONE stage slopes (each its own scan program): upper
+            # bounds on in-pass cost — XLA fuses association/egress into the
+            # blocked body and the block axis amortizes per-frame overhead,
+            # so the stages legitimately sum past the fused total.
+            "stage_association_standalone_us_per_frame": round(us_assoc, 2),
             "stage_closure_gn_us_per_lap": round(us_solve, 1),
-            "stage_egress_us_per_frame": round(us_egress, 2),
-            "stage_mapping_scatter_scan_us_per_frame": round(us_other, 2),
+            "stage_egress_standalone_us_per_frame": round(us_egress, 2),
             "blocked_us_per_frame_total": round(us_pass_frame, 2),
         })
         return out
