@@ -21,3 +21,19 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402  (possibly already imported by sitecustomize)
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables between test modules.
+
+    The suite compiles hundreds of distinct XLA:CPU programs (many of them
+    8-device shard_maps); with all of them held live by jit/lru caches the
+    runtime eventually segfaults inside a later sharded dispatch
+    (deterministically ~157 programs in, jaxlib 0.9.0 CPU). Each module's
+    programs are independent, so freeing them between modules keeps the live
+    set small at no re-trace cost within a module."""
+    yield
+    jax.clear_caches()
