@@ -254,6 +254,68 @@ def main():
 
     _section(extras, "batched_sessions", batched_section)
 
+    # cross-session map fusion on the real chip (BASELINE config 5, VERDICT
+    # round-1 missing #2): S whole-lap sessions -> one jointly optimized
+    # global map. The single-chip timing of the pod-scale flow: ICP
+    # alignment + landmark dedup/merge + joint GN over the fused
+    # (S*P poses, S*L landmarks) graph.
+    def fusion_section():
+        from tpuslam.backend import gauss_newton as gnb
+        from tpuslam.parallel import fusion
+        from tpuslam.parallel.batch import initial_states
+        s_f = 8
+        scens_f = [simulate(trackdrive(seed=11), SimConfig(
+            laps=1.4, keyframe_dt=0.1, speed=8.0, max_range=20.0, seed=60 + s))
+            for s in range(s_f)]
+        t_f = min(len(sc.times) for sc in scens_f)
+        t_f -= t_f % 16
+        cap_f = GraphCapacity(max_poses=max(384, t_f), max_landmarks=256,
+                              max_obs=4096)
+        cfg_f = SlamConfig(capacity=cap_f)
+        obs_f = jnp.stack([jnp.asarray(sc.obs[:t_f], jnp.float32)
+                           for sc in scens_f])
+        valid_f = jnp.stack([jnp.asarray(sc.obs_valid[:t_f])
+                             for sc in scens_f])
+        poses_f = jnp.stack([jnp.asarray(sc.odom_poses[:t_f], jnp.float32)
+                             for sc in scens_f])
+        sts = initial_states(cap_f, s_f)
+        sts, _o, _d = BL.blocked_core_batched(sts, obs_f, valid_f, poses_f,
+                                              cfg_f, 16)
+        stacked = sts.graph                      # FactorGraph [S]
+        # bucketing off: the fused graph runs at ~85% of its (S*P, S*L)
+        # capacity, so the bucketed solve saves nothing here while its
+        # lax.switch branches (24 pose x 16 edge buckets at this size)
+        # dominate compile time through the tunnel
+        fcfg = gnb.GNConfig(iterations=10, solve_bucket_step=0,
+                            edge_bucket_step=0)
+        gate_f = cfg_f.same_cone_threshold
+        fused, rep = fusion.fuse_sessions(stacked, cfg=fcfg, gate=gate_f)
+        jax.block_until_ready(fused.poses)
+        lmf = np.asarray(fused.lm_xy)[:int(fused.n_landmarks)]
+        map_err = float(np.median(np.linalg.norm(
+            lmf[:, None, :] - track.cones_xy[None], axis=-1).min(axis=1)))
+
+        def multi_fuse(k):
+            @jax.jit
+            def run():
+                def one(_, __):
+                    f2, _r = fusion.fuse_sessions(stacked, cfg=fcfg,
+                                                  gate=gate_f)
+                    return (), f2.poses[0, 0]
+                _, ys = jax.lax.scan(one, (), None, length=k)
+                return ys
+            return run
+
+        fuse_ms = timed_slope(multi_fuse, 1, 2) * 1e3
+        return {"fusion_sessions": s_f,
+                "fusion_latency_ms": round(fuse_ms, 2),
+                "fused_landmarks": int(fused.n_landmarks),
+                "fusion_cross_session_merges":
+                    int(rep["n_cross_session_merges"]),
+                "map_error_fused_m": round(map_err, 4)}
+
+    _section(extras, "cross_session_fusion", fusion_section)
+
     # improved-fast: the blocked-compatible accuracy configuration
     # (GPS/heading priors + nearest association + localizer refine +
     # closure GN; no periodic GN) — beats the reference's accuracy at
@@ -446,7 +508,10 @@ def main():
         from tpuslam.perception.vlp16 import decode_point_cloud_reading
         from tpuslam.sim.vlp16_sim import scene_to_point_cloud_reading
         cones_roi = rngv.uniform([1.0, -3.5], [11.0, 3.5], (12, 2))
-        msg = scene_to_point_cloud_reading(cones_roi, Vlp16SceneConfig(seed=4))
+        # surround wall: every beam returns -> the full 28.8k returns/rev of
+        # the real sensor (open-field scenes lose the upward beams to sky)
+        msg = scene_to_point_cloud_reading(
+            cones_roi, Vlp16SceneConfig(seed=4, surround_range=30.0))
         cloud, _ = decode_point_cloud_reading(msg)
         fcap = 32768
         fpts = np.zeros((fcap, 3), np.float32)

@@ -215,10 +215,12 @@ def test_full_sweep_grid_clustering():
                       [11.0, 1.8], [4.0, -3.0],
                       # distractors outside the ROI (behind / far lateral)
                       [-5.0, 0.0], [3.0, 7.0]])
-    scfg = Vlp16SceneConfig(seed=13, noise=0.005)
+    # surrounding wall at 30 m: every beam returns, like a real outdoor
+    # venue — the rev carries its full 1800 x 16 = 28.8k returns
+    scfg = Vlp16SceneConfig(seed=13, noise=0.005, surround_range=30.0)
     msg = scene_to_point_cloud_reading(cones, scfg)
     cloud, _ = decode_point_cloud_reading(msg)
-    assert len(cloud) > 8000, len(cloud)   # true sweep scale
+    assert len(cloud) >= 28000, len(cloud)   # true sweep scale
     cap = 32768
     pts = np.zeros((cap, 3), np.float32)
     n = min(len(cloud), cap)

@@ -26,6 +26,12 @@ class Vlp16SceneConfig:
     noise: float = 0.01
     intensity_type_scale: float = 10.0  # intensity = type * scale
     seed: int = 0
+    # raycast-only: radius of a surrounding vertical wall (buildings/fences/
+    # spectators at an outdoor event). 0 = open field — upward beams return
+    # nothing and a rev carries ~half its rays. With a wall every beam
+    # returns, reproducing the ~28.8k returns/rev of a real VLP-16 at 10 Hz
+    # (1800 azimuth steps x 16 beams; usecase/VLP-16.xml beam pattern).
+    surround_range: float = 0.0
 
 
 def render_scene(cones_xy: np.ndarray, cones_type: np.ndarray,
@@ -98,6 +104,15 @@ def raycast_range_image(cones_xy: np.ndarray, cfg: Vlp16SceneConfig,
         hit = (t > 0.5) & (z_hit > -h - 0.02) & (z_hit < -h + CONE_HEIGHT)
         t = np.where(hit, t, np.inf)
         best = np.minimum(best, t)
+
+    if cfg.surround_range > 0.0:
+        # vertical cylinder wall at radius R: the ray's horizontal component
+        # ch covers R at t = R / ch (tall wall: no z gate) — gives upward
+        # beams a return like real surroundings do
+        with np.errstate(divide="ignore"):
+            t_wall = np.where(ch > 1e-6, cfg.surround_range / ch, np.inf)
+        t_wall = np.broadcast_to(t_wall, best.shape)
+        best = np.minimum(best, np.where(t_wall <= max_range, t_wall, np.inf))
 
     image = np.where(np.isinf(best), 0.0, best)
     image = np.where(image > 0, image + rng.normal(0, cfg.noise, image.shape), 0.0)
