@@ -336,17 +336,18 @@ def test_rec_replay_full_sweeps_into_slam(tmp_path):
     assert np.median(d) < 0.4, (lm, d)
 
 
-def test_calibration_xml_parses_reference_file():
-    """Parse the reference's shipped boost-serialized VLP-16 calibration
-    (reference usecase/VLP-16.xml) and cross-check against the transcribed
-    constants."""
+def test_calibration_xml_parses_vendored_file():
+    """Parse the vendored boost-serialized VLP-16 calibration
+    (tpuslam/perception/data/VLP-16.xml, regenerated from datasheet
+    constants) and cross-check against the transcribed constants."""
     import numpy as np
 
-    from tpuslam.perception.calib import load_calibration
+    from tpuslam.perception.calib import (default_calibration_path,
+                                          load_calibration)
     from tpuslam.perception.vlp16 import (DISTANCE_RESOLUTION_M,
                                           VLP16_ELEVATIONS_DEG)
 
-    calib = load_calibration("/root/reference/usecase/VLP-16.xml")
+    calib = load_calibration(default_calibration_path())
     assert abs(calib.dist_lsb_m - DISTANCE_RESOLUTION_M) < 1e-12  # 0.2 cm
     assert calib.n_lasers == 64          # boost DB carries 64 px records
     np.testing.assert_array_equal(calib.position_xyz, 0.0)
@@ -360,16 +361,44 @@ def test_calibration_xml_parses_reference_file():
         np.argsort(np.arange(16))])  # firing order == laser-id order here
 
 
+def test_vendored_calibration_matches_reference_copy():
+    """Field-for-field parity between the regenerated vendored calibration
+    and the reference's shipped usecase/VLP-16.xml (when present)."""
+    import os
+
+    import numpy as np
+
+    from tpuslam.perception.calib import (default_calibration_path,
+                                          load_calibration,
+                                          nominal_vlp16_db_xml)
+
+    ref_path = "/root/reference/usecase/VLP-16.xml"
+    if not os.path.exists(ref_path):
+        pytest.skip("reference checkout not present")
+    # the shipped file must be exactly what the emitter produces
+    assert open(default_calibration_path()).read() == nominal_vlp16_db_xml()
+    c = load_calibration(default_calibration_path())
+    r = load_calibration(ref_path)
+    assert c.dist_lsb_m == r.dist_lsb_m
+    for f in ("position_xyz", "orientation_rpy", "laser_id",
+              "rot_correction_deg", "vert_correction_deg",
+              "dist_correction_m", "vert_offset_m", "horiz_offset_m",
+              "min_intensity", "max_intensity"):
+        np.testing.assert_array_equal(getattr(c, f), getattr(r, f),
+                                      err_msg=f)
+
+
 def test_decode_point_cloud_reading_with_calibration():
     """Decoding with the real calibration equals the constant path when the
     calibration matches the transcribed defaults."""
     import numpy as np
 
     from tpuslam.io import messages as M
-    from tpuslam.perception.calib import load_calibration
+    from tpuslam.perception.calib import (default_calibration_path,
+                                          load_calibration)
     from tpuslam.perception.vlp16 import decode_point_cloud_reading
 
-    calib = load_calibration("/root/reference/usecase/VLP-16.xml")
+    calib = load_calibration(default_calibration_path())
     counts = (np.arange(32, dtype=">u2") * 100 + 500)
     msg = M.PointCloudReading(startAzimuth=0.0, endAzimuth=10.0,
                               entriesPerAzimuth=16,

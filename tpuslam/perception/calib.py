@@ -11,12 +11,14 @@ constants in tpuslam.perception.vlp16.
 """
 from __future__ import annotations
 
+import os
 import xml.etree.ElementTree as ET
 from dataclasses import dataclass, field
 
 import numpy as np
 
-__all__ = ["Vlp16Calibration", "load_calibration"]
+__all__ = ["Vlp16Calibration", "load_calibration", "nominal_vlp16_db_xml",
+           "write_nominal_calibration", "default_calibration_path"]
 
 
 @dataclass
@@ -50,6 +52,108 @@ def _floats(node, tag):
         return np.zeros(0)
     return np.array([float(i.text) for i in sub.findall("item")
                      if i.text is not None])
+
+
+def nominal_vlp16_db_xml(lasers: int = 64) -> str:
+    """Regenerate the nominal (factory-default) Velodyne DB calibration XML.
+
+    The reference's shipped usecase/VLP-16.xml carries no per-unit data at
+    all: distLSB 0.2 cm, zero mounting position/orientation, zero rot/dist/
+    offset corrections, min/max intensity 0/255, and the standard VLP-16
+    vertical angle set (-15..+15 deg interleaved, in firing order) on lasers
+    0-15 and again on 16-31, zeros beyond — i.e. the stock sensor datasheet
+    values in the boost-serialization DB schema the proxy consumes. This
+    emitter re-derives that file from the datasheet constants
+    (tpuslam.perception.vlp16.VLP16_ELEVATIONS_DEG) so the repo is
+    standalone; `load_calibration` round-trips it bit-for-bit on every field
+    it reads (tests/test_perception.py cross-checks against the reference
+    copy when one is present).
+    """
+    vert = np.zeros(lasers)
+    n16 = VLP16_FIRING_ORDER_DEG.shape[0]
+    for base in (0, 16):
+        if base + n16 <= min(lasers, 32):
+            vert[base:base + n16] = VLP16_FIRING_ORDER_DEG
+    out = [
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes" ?>',
+        "<!DOCTYPE boost_serialization>",
+        '<boost_serialization signature="serialization::archive" '
+        'version="4">',
+        '<DB class_id="0" tracking_level="1" version="0" object_id="_0">',
+        "\t<distLSB_>0.2</distLSB_>",
+    ]
+
+    def vec3(tag, inner, cid):
+        out.append(f'\t<{tag} class_id="{cid}" tracking_level="0" '
+                   'version="0">')
+        out.append(f"\t\t<{inner}>")
+        out.append("\t\t\t<count>3</count>")
+        for _ in range(3):
+            out.append("\t\t\t<item>0</item>")
+        out.append(f"\t\t</{inner}>")
+        out.append(f"\t</{tag}>")
+
+    vec3("position_", "xyz", 1)
+    vec3("orientation_", "rpy", 2)
+
+    def scalar_list(tag, value):
+        out.append(f"\t<{tag}>")
+        out.append(f"\t\t<count>{lasers}</count>")
+        out.append("\t\t<item_version>0</item_version>")
+        for _ in range(lasers):
+            out.append(f"\t\t<item>{value}</item>")
+        out.append(f"\t</{tag}>")
+
+    scalar_list("minIntensity_", 0)
+    scalar_list("maxIntensity_", 255)
+
+    out.append('\t<points_ class_id="7" tracking_level="0" version="0">')
+    out.append(f"\t\t<count>{lasers}</count>")
+    out.append("\t\t<item_version>1</item_version>")
+    for i in range(lasers):
+        if i == 0:
+            out.append('\t\t<item class_id="8" tracking_level="0" '
+                       'version="1">')
+            out.append('\t\t\t<px class_id="9" tracking_level="1" '
+                       f'version="1" object_id="_{i + 1}">')
+        else:
+            out.append("\t\t<item>")
+            out.append('\t\t\t<px class_id_reference="9" '
+                       f'object_id="_{i + 1}">')
+        v = vert[i]
+        vtxt = str(int(v)) if float(v).is_integer() else repr(float(v))
+        out.append(f"\t\t\t\t<id_>{i}</id_>")
+        out.append("\t\t\t\t<rotCorrection_>0</rotCorrection_>")
+        out.append(f"\t\t\t\t<vertCorrection_>{vtxt}</vertCorrection_>")
+        for tag in ("distCorrection_", "distCorrectionX_",
+                    "distCorrectionY_", "vertOffsetCorrection_",
+                    "horizOffsetCorrection_", "focalDistance_",
+                    "focalSlope_"):
+            out.append(f"\t\t\t\t<{tag}>0</{tag}>")
+        out.append("\t\t\t</px>")
+        out.append("\t\t</item>")
+    out.append("\t</points_>")
+    out.append("</DB>")
+    out.append("</boost_serialization>")
+    return "\n".join(out) + "\n"
+
+
+#: the VLP-16's 16 vertical angles in firing order (datasheet; matches
+#: tpuslam.perception.vlp16.VLP16_ELEVATIONS_DEG)
+VLP16_FIRING_ORDER_DEG = np.array(
+    [-15, 1, -13, 3, -11, 5, -9, 7, -7, 9, -5, 11, -3, 13, -1, 15],
+    dtype=np.float64)
+
+
+def write_nominal_calibration(path: str, lasers: int = 64) -> None:
+    with open(path, "w") as f:
+        f.write(nominal_vlp16_db_xml(lasers))
+
+
+def default_calibration_path() -> str:
+    """The vendored nominal VLP-16 calibration shipped with the package
+    (regenerated from datasheet constants — see nominal_vlp16_db_xml)."""
+    return os.path.join(os.path.dirname(__file__), "data", "VLP-16.xml")
 
 
 def load_calibration(path: str) -> Vlp16Calibration:
