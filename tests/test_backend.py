@@ -184,3 +184,158 @@ def test_edge_bucketed_assembly_equivalent():
                                    np.asarray(bucketed.poses), atol=1e-5)
         np.testing.assert_allclose(np.asarray(full.lm_xy),
                                    np.asarray(bucketed.lm_xy), atol=1e-5)
+
+
+def _window_oracle_step(g, cfg, window, edge_window):
+    """NumPy re-derivation of one fixed-lag iteration (window_gn_step):
+    trailing `window` poses free, everything else (incl. all landmarks)
+    constant; trailing `edge_window` landmark edges considered."""
+    from tpuslam.backend.residuals import landmark_residuals, odometry_residuals
+    W = window
+    n = int(g.n_poses)
+    w0 = max(n - W, 0)
+    poses = np.asarray(g.poses, np.float64)
+    H = np.zeros((3 * W, 3 * W))
+    b = np.zeros(3 * W)
+    # odometry edges touching the window
+    for k in range(max(w0, 1), n):
+        r, ji, jj = (np.asarray(x, np.float64)[0] for x in odometry_residuals(
+            jnp.asarray(poses[k - 1])[None], jnp.asarray(poses[k])[None],
+            jnp.asarray(np.asarray(g.odo_meas, np.float64)[k])[None]))
+        w = cfg.odo_info * float(np.asarray(g.odo_w)[k])
+        rj = 3 * (k - w0)
+        H[rj:rj + 3, rj:rj + 3] += w * jj.T @ jj
+        b[rj:rj + 3] += w * jj.T @ r
+        if k - 1 >= w0:   # i-side free too
+            ri = 3 * (k - 1 - w0)
+            H[ri:ri + 3, ri:ri + 3] += w * ji.T @ ji
+            H[ri:ri + 3, rj:rj + 3] += w * ji.T @ jj
+            H[rj:rj + 3, ri:ri + 3] += w * jj.T @ ji
+            b[ri:ri + 3] += w * ji.T @ r
+    # GPS priors
+    pi = np.asarray(g.prior_info, np.float64)
+    pp = np.asarray(g.prior_pose, np.float64)
+    for k in range(w0, n):
+        rj = 3 * (k - w0)
+        H[rj, rj] += pi[k, 0]
+        H[rj + 1, rj + 1] += pi[k, 0]
+        H[rj + 2, rj + 2] += pi[k, 1]
+        r = poses[k] - pp[k]
+        r[2] = float(se2.wrap_angle(r[2]))
+        b[rj:rj + 3] += r * np.array([pi[k, 0], pi[k, 0], pi[k, 1]])
+    # trailing landmark edges with an in-window pose (map fixed)
+    n_obs = int(g.n_obs)
+    e0 = max(n_obs - edge_window, 0)
+    op = np.asarray(g.obs_pose)
+    ol = np.asarray(g.obs_lm)
+    oxy = np.asarray(g.obs_xy, np.float64)
+    for e in range(e0, n_obs):
+        p = int(op[e])
+        if p < w0:
+            continue
+        r, jp, _ = (np.asarray(x, np.float64)[0] for x in landmark_residuals(
+            jnp.asarray(poses[p])[None],
+            jnp.asarray(np.asarray(g.lm_xy, np.float64)[int(ol[e])])[None],
+            jnp.asarray(oxy[e])[None]))
+        rj = 3 * (p - w0)
+        H[rj:rj + 3, rj:rj + 3] += cfg.lm_info * jp.T @ jp
+        b[rj:rj + 3] += cfg.lm_info * jp.T @ r
+    # gauge: clamp global fix_first rows + invalid rows
+    for rloc in range(W):
+        k = w0 + rloc
+        if k < cfg.fix_first_poses or k >= n:
+            rj = 3 * rloc
+            H[rj:rj + 3, :] = 0.0
+            H[:, rj:rj + 3] = 0.0
+            H[rj:rj + 3, rj:rj + 3] = np.eye(3)
+            b[rj:rj + 3] = 0.0
+    dp = np.linalg.solve(H, -b).reshape(W, 3)
+    out = poses.copy()
+    for rloc in range(W):
+        k = w0 + rloc
+        if cfg.fix_first_poses <= k < n:
+            out[k] = poses[k] + dp[rloc]
+            out[k, 2] = float(se2.wrap_angle(out[k, 2]))
+    return out
+
+
+@pytest.mark.parametrize("window,n_poses", [(8, 12), (16, 12), (4, 12)])
+def test_window_gn_matches_numpy_oracle(window, n_poses):
+    """One window_gn_step iteration == the independent f64 NumPy assembly of
+    the same fixed-lag problem (boundary edge handling, prior terms,
+    landmark pose-blocks, gauge clamping)."""
+    poses, lms, obs = _build_world(n_poses=n_poses)
+    g = _as_factor_graph(poses, lms, obs)
+    cfg = dataclasses.replace(CFG, iterations=1, early_exit_tol=0.0)
+    got = np.asarray(gn.window_gn_step(g, cfg, window, 128,
+                                       landmarks=False).poses)
+    want = _window_oracle_step(g, cfg, window, 128)
+    np.testing.assert_allclose(got[:n_poses], want[:n_poses],
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_window_gn_invariants():
+    """Fixed-lag refinement never touches pre-window poses or padding;
+    pose-only mode never touches landmarks; enable=False is an exact
+    identity; chi2 decreases."""
+    poses, lms, obs = _build_world(n_poses=12, noise=0.3)
+    g = _as_factor_graph(poses, lms, obs)
+    cfg = dataclasses.replace(CFG, iterations=3)
+    W = 6
+    out = gn.optimize_window(g, cfg, W, 128, landmarks=False)
+    w0 = 12 - W
+    np.testing.assert_array_equal(np.asarray(out.lm_xy), np.asarray(g.lm_xy))
+    np.testing.assert_array_equal(np.asarray(out.poses)[:w0],
+                                  np.asarray(g.poses)[:w0])
+    np.testing.assert_array_equal(np.asarray(out.poses)[12:],
+                                  np.asarray(g.poses)[12:])
+    assert float(gn.chi2(out, cfg)) < float(gn.chi2(g, cfg))
+    ident = gn.optimize_window(g, cfg, W, 128, enable=jnp.asarray(False))
+    np.testing.assert_array_equal(np.asarray(ident.poses),
+                                  np.asarray(g.poses))
+    np.testing.assert_array_equal(np.asarray(ident.lm_xy),
+                                  np.asarray(g.lm_xy))
+
+
+def test_window_gn_free_map_mode():
+    """landmarks=True: the map refines (chi2 drops at least as much as
+    pose-only), gauge-clamped landmarks stay put bit-exactly, and padding
+    landmark rows receive an exact-zero update."""
+    poses, lms, obs = _build_world(n_poses=12, noise=0.3)
+    g = _as_factor_graph(poses, lms, obs)
+    cfg = dataclasses.replace(CFG, iterations=3)
+    W = 6
+    out_p = gn.optimize_window(g, cfg, W, 128, landmarks=False)
+    out_f = gn.optimize_window(g, cfg, W, 128, landmarks=True)
+    c0 = float(gn.chi2(g, cfg))
+    cp = float(gn.chi2(out_p, cfg))
+    cf = float(gn.chi2(out_f, cfg))
+    assert cf < c0 and cf <= cp + 1e-6, (c0, cp, cf)
+    # gauge-fixed landmarks and padding rows untouched
+    np.testing.assert_array_equal(np.asarray(out_f.lm_xy)[:2],
+                                  np.asarray(g.lm_xy)[:2])
+    np.testing.assert_array_equal(np.asarray(out_f.lm_xy)[len(lms):],
+                                  np.asarray(g.lm_xy)[len(lms):])
+    # some in-window-observed landmark actually moved
+    assert np.abs(np.asarray(out_f.lm_xy)[2:len(lms)]
+                  - np.asarray(g.lm_xy)[2:len(lms)]).max() > 1e-6
+
+
+def test_window_gn_gps_prior_anchoring():
+    """With GPS priors and the window covering the whole (unclamped) chain,
+    fixed-lag refinement pulls poses toward the priors."""
+    poses, lms, obs = _build_world(n_poses=10, noise=0.4, seed=9)
+    g = _as_factor_graph(poses, lms, obs)
+    # priors at the noisy poses themselves, strongly weighted
+    g = dataclasses.replace(
+        g, prior_pose=g.poses,
+        prior_info=g.prior_info.at[:10].set(jnp.asarray([50.0, 20.0])))
+    cfg = dataclasses.replace(CFG, iterations=5, fix_first_poses=0)
+    # perturb the estimates away from the priors
+    g2 = dataclasses.replace(g, poses=g.poses.at[:10, :2].add(0.3))
+    out = gn.optimize_window(g2, cfg, 16, 256)
+    d_before = np.linalg.norm(np.asarray(g2.poses - g.prior_pose)[:10, :2],
+                              axis=1)
+    d_after = np.linalg.norm(np.asarray(out.poses - g.prior_pose)[:10, :2],
+                             axis=1)
+    assert d_after.max() < d_before.max() * 0.5

@@ -35,7 +35,7 @@ from tpuslam.backend.residuals import landmark_residuals, odometry_residuals
 from tpuslam.geometry import se2
 
 __all__ = ["GNConfig", "assemble", "schur_solve", "schur_solve_split",
-           "gn_step", "optimize", "chi2"]
+           "gn_step", "optimize", "chi2", "window_gn_step", "optimize_window"]
 
 
 @dataclass(frozen=True)
@@ -465,6 +465,200 @@ def gn_step(g: FactorGraph, cfg: GNConfig) -> FactorGraph:
     poses = poses.at[:, 2].set(
         jnp.where(act, se2.wrap_angle(poses[:, 2]), poses[:, 2]))
     return dataclasses.replace(g, poses=poses, lm_xy=g.lm_xy + dl)
+
+
+def window_gn_step(g: FactorGraph, cfg: GNConfig, window: int,
+                   edge_window: int, landmarks: bool = True) -> FactorGraph:
+    """One fixed-lag GN iteration: refine the trailing `window` poses (and,
+    with `landmarks=True`, the map) with everything older marginalized.
+
+    The full periodic re-optimization (`optimize`) costs O(P·E·L) per firing
+    — measured at 2-4 ms at lap scale, which at a firing every 8 keyframes
+    caps the improved-full pipeline at ~4-7k frames/s no matter how the
+    solve is bucketed (scripts/exp_periodic_gn.py). Fixed-lag smoothing is
+    the standard online answer: poses before `n_poses - window` and every
+    landmark are constants, so the system is the window's block-tridiagonal
+    odometry chain plus pose-block-diagonal landmark terms — a [3W, 3W]
+    dense solve with no Schur elimination and no lax.switch, cheap enough
+    to run *inside* the blocked pipeline's scans (~100 µs vs ~4 ms).
+
+    Anchoring: the boundary odometry edge (fixed pose w0-1 -> window row 0)
+    contributes only its J_j half, tying the window to the fixed prefix;
+    GPS/heading priors of window poses apply as usual; in clamp-gauge
+    (reference-compat) configs the global fix_first_poses rows clamp exactly
+    as in `gn_step`. `edge_window` is a completeness knob, not a correctness
+    one: the trailing `edge_window` edges are considered, and any window
+    pose whose edges scrolled out is simply constrained by fewer factors
+    (both the per-frame and blocked paths use the same slice, so they stay
+    bit-equal).
+
+    `landmarks=True` (the production mode) also refines the map: every
+    landmark joins the system, anchored by the information of its
+    MARGINALIZED (out-of-window) observations as a prior at the current
+    estimate. Because the landmark Jacobian of an observation edge is a pure
+    rotation (J_ll = R^T, backend/residuals.py), each edge contributes
+    exactly `lm_info * I2` to its landmark's Hll — so the marginal prior is
+    `lm_info * n_out * I2` with zero gradient, and the assembled Hll is just
+    `lm_info * n_total * I2`: the full-batch Hll, for free. Only in-window
+    edges contribute gradient/coupling; landmarks untouched by the window
+    receive an exact-zero update. The solve is the same Schur elimination as
+    the full GN, at [3W, L] instead of [3P, L]. With `landmarks=False` the
+    map is constant and the system is pose-only block-tridiagonal.
+    """
+    W, EW = window, edge_window
+    dtype = g.poses.dtype
+    n = g.n_poses
+    w0 = jnp.maximum(n - W, 0)
+    poses_w = jax.lax.dynamic_slice(g.poses, (w0, 0), (W, 3))
+    odo_meas_w = jax.lax.dynamic_slice(g.odo_meas, (w0, 0), (W, 3))
+    odo_ww = jax.lax.dynamic_slice(g.odo_w, (w0,), (W,))
+    prior_pose_w = jax.lax.dynamic_slice(g.prior_pose, (w0, 0), (W, 3))
+    prior_info_w = jax.lax.dynamic_slice(g.prior_info, (w0, 0), (W, 2))
+    kg = w0 + jnp.arange(W)                       # global pose index per row
+
+    # ---- odometry chain within the window (+ the fixed boundary edge)
+    prev0 = g.poses[jnp.maximum(w0 - 1, 0)]
+    p_prev = jnp.concatenate([prev0[None, :], poses_w[:-1]], axis=0)
+    odo_valid = (kg >= 1) & (kg < n)
+    r_o, j_oi, j_oj = odometry_residuals(p_prev, poses_w, odo_meas_w)
+    w_o = jnp.asarray(cfg.odo_info, dtype) * odo_valid.astype(dtype) * odo_ww
+    w3 = w_o[:, None, None]
+    jti = jnp.swapaxes(j_oi, -1, -2)
+    jtj = jnp.swapaxes(j_oj, -1, -2)
+    a_ii = w3 * (jti @ j_oi)
+    a_jj = w3 * (jtj @ j_oj)
+    h_off = w3 * (jti @ j_oj)                     # block (r-1, r)
+    g_i = w_o[:, None] * (jti @ r_o[..., None])[..., 0]
+    g_j = w_o[:, None] * (jtj @ r_o[..., None])[..., 0]
+    # row 0's i-side belongs to the fixed pose w0-1: its diagonal/gradient
+    # contribution and the coupling block leave the free system entirely
+    h_diag = a_jj.at[:-1].add(a_ii[1:])
+    h_off = h_off.at[0].set(0.0)
+    gp = g_j.at[:-1].add(g_i[1:])
+
+    # ---- GPS/heading priors of window poses
+    pose_valid = (kg < n).astype(dtype)
+    ixy = prior_info_w[:, 0] * pose_valid
+    ith = prior_info_w[:, 1] * pose_valid
+    eye_xy = jnp.zeros((3, 3), dtype).at[0, 0].set(1.0).at[1, 1].set(1.0)
+    eye_th = jnp.zeros((3, 3), dtype).at[2, 2].set(1.0)
+    h_diag = h_diag + ixy[:, None, None] * eye_xy + ith[:, None, None] * eye_th
+    r_pr = poses_w - prior_pose_w
+    r_pr = r_pr.at[:, 2].set(se2.wrap_angle(r_pr[:, 2]))
+    gp = gp + r_pr * jnp.stack([ixy, ixy, ith], axis=-1)
+
+    # ---- trailing landmark edges
+    L = g.capacity.max_landmarks
+    e0 = jnp.maximum(g.n_obs - EW, 0)
+    op = jax.lax.dynamic_slice(g.obs_pose, (e0,), (EW,))
+    ol = jax.lax.dynamic_slice(g.obs_lm, (e0,), (EW,))
+    oxy = jax.lax.dynamic_slice(g.obs_xy, (e0, 0), (EW, 2))
+    ke = e0 + jnp.arange(EW)
+    w_l = jnp.asarray(cfg.lm_info, dtype) * \
+        ((ke < g.n_obs) & (op >= w0)).astype(dtype)
+    local = jnp.clip(op - w0, 0, W - 1)
+    r_l, j_lp, j_ll = landmark_residuals(poses_w[local], g.lm_xy[ol], oxy)
+    wl3 = w_l[:, None, None]
+    jtp = jnp.swapaxes(j_lp, -1, -2)
+    onehot_p = (local[None, :] == jnp.arange(W)[:, None]).astype(dtype)
+    hpp_e = (wl3 * (jtp @ j_lp)).reshape(EW, 9)
+    h_diag = h_diag + (onehot_p @ hpp_e).reshape(W, 3, 3)
+    gp = gp + onehot_p @ (w_l[:, None] * (jtp @ r_l[..., None])[..., 0])
+
+    # ---- gauge clamping by GLOBAL index (same rows gn_step clamps)
+    free = (kg >= cfg.fix_first_poses) & (kg < n)
+    fpb = free.astype(dtype)[:, None, None]
+    eye3 = jnp.eye(3, dtype=dtype)
+    h_diag = h_diag * fpb + eye3 * (1.0 - fpb)
+    prev_free = jnp.concatenate([jnp.zeros((1,), bool), free[:-1]])
+    pair = (free & prev_free).astype(dtype)
+    h_off = h_off * pair[:, None, None]
+    gp = gp * free.astype(dtype)[:, None]
+    if cfg.damping:
+        h_diag = h_diag + eye3 * jnp.asarray(cfg.damping, dtype) * fpb
+
+    with jax.default_matmul_precision(cfg.matmul_precision):
+        if landmarks:
+            # free-map window system: Hll from TOTAL per-landmark counts
+            # (marginal prior + in-window edges collapse to lm_info*n*I2),
+            # W/gl from in-window edges only; Schur-eliminate as usual
+            kl = jnp.arange(L)
+            e_all = g.obs_pose.shape[0]
+            ve = (jnp.arange(e_all) < g.n_obs).astype(dtype)
+            onehot_tot = (g.obs_lm[None, :] == kl[:, None]).astype(dtype)
+            n_tot = onehot_tot @ ve                              # [L]
+            free_lm = (kl >= cfg.fix_first_landmarks) & (kl < g.n_landmarks)
+            flm = free_lm.astype(dtype)
+            eye2 = jnp.eye(2, dtype=dtype)
+            hll_d = jnp.asarray(cfg.lm_info, dtype) * n_tot * flm
+            # clamped/unobserved rows get exact identity (zero gradient ->
+            # exact-zero update)
+            hll = jnp.where(hll_d > 0, hll_d, 1.0)[:, None, None] * eye2
+            if cfg.damping:
+                hll = hll + eye2 * jnp.asarray(cfg.damping, dtype) \
+                    * flm[:, None, None]
+            onehot_l = (ol[None, :] == kl[:, None]).astype(dtype)   # [L,EW]
+            w_e = wl3 * (jtp @ j_ll)                             # [EW, 3, 2]
+            fp3 = free.astype(dtype).repeat(3)
+            w0c = jnp.einsum("we,ei,le->wil", onehot_p, w_e[..., 0],
+                             onehot_l).reshape(3 * W, L) \
+                * fp3[:, None] * flm[None, :]
+            w1c = jnp.einsum("we,ei,le->wil", onehot_p, w_e[..., 1],
+                             onehot_l).reshape(3 * W, L) \
+                * fp3[:, None] * flm[None, :]
+            jtl = jnp.swapaxes(j_ll, -1, -2)
+            gl = (onehot_l @ (w_l[:, None] * (jtl @ r_l[..., None])[..., 0])) \
+                * flm[:, None]
+            hpp = densify_hpp(h_diag, h_off)
+            dp, dl = schur_solve_split(hpp, w0c, w1c, hll,
+                                       gp.reshape(-1), gl)
+            new_lm = g.lm_xy + dl
+        else:
+            # ---- dense pose-only [3W, 3W] solve
+            hpp = densify_hpp(h_diag, h_off)
+            c = jnp.linalg.cholesky(hpp)
+            dp = jax.scipy.linalg.cho_solve((c, True), -gp.reshape(-1))
+            new_lm = g.lm_xy
+    new_w = poses_w + dp.reshape(W, 3)
+    # clamped rows receive an exact-zero update; keep them bit-identical
+    # (wrap_angle is not a bit-exact identity in f32)
+    new_w = new_w.at[:, 2].set(
+        jnp.where(free, se2.wrap_angle(new_w[:, 2]), new_w[:, 2]))
+    return dataclasses.replace(
+        g, poses=jax.lax.dynamic_update_slice(g.poses, new_w, (w0, 0)),
+        lm_xy=new_lm)
+
+
+@partial(jax.jit, static_argnames=("cfg", "window", "edge_window",
+                                   "landmarks"))
+def optimize_window(g: FactorGraph, cfg: GNConfig, window: int,
+                    edge_window: int, enable=None,
+                    landmarks: bool = True) -> FactorGraph:
+    """`optimize`'s loop shell around `window_gn_step` (fixed-lag
+    refinement). Straight-line per iteration — no bucketing, no lax.switch —
+    so it is safe inside scans and under vmap; `enable=False` is an exact
+    zero-trip identity."""
+    iters = jnp.int32(cfg.iterations)
+    if enable is not None:
+        iters = jnp.where(enable, iters, 0)
+    tol = jnp.asarray(cfg.early_exit_tol, g.poses.dtype) \
+        if cfg.early_exit_tol > 0.0 else jnp.asarray(-jnp.inf, g.poses.dtype)
+
+    def cond(carry):
+        _, i, delta = carry
+        return (i < iters) & (delta > tol)
+
+    def body(carry):
+        gg, i, _ = carry
+        g2 = window_gn_step(gg, cfg, window, edge_window,
+                            landmarks=landmarks)
+        delta = jnp.maximum(jnp.max(jnp.abs(g2.poses - gg.poses)),
+                            jnp.max(jnp.abs(g2.lm_xy - gg.lm_xy)))
+        return g2, i + 1, delta
+
+    out, _, _ = jax.lax.while_loop(
+        cond, body, (g, jnp.int32(0), jnp.asarray(jnp.inf, g.poses.dtype)))
+    return out
 
 
 @partial(jax.jit, static_argnames="cfg")

@@ -181,29 +181,58 @@ def _associate_map_sharded(state: SlamState, glob_all, obs, obs_valid,
     Exact vs the dense path on match decisions; like the Pallas provider it
     does not reproduce the localizer signed-type quirk (clean type
     equality), so use it with localizer_type_bug=False configs."""
-    from tpuslam.parallel.map_blocks import associate_sharded
     g = state.graph
-    otype = obs[:, 3].astype(jnp.int32)
+    j, matched, _ = _provider_associate(
+        glob_all, obs[:, 3].astype(jnp.int32), obs_valid, g.lm_xy,
+        g.lm_type, g.lm_valid, state.lm_info_xy, cfg, assoc_mesh=mesh)
+    return j, matched
+
+
+def _mahal_packed(lm_info, cfg: SlamConfig):
+    """Packed innovation information with the zero-information scaled-
+    Euclidean fallback — the per-landmark payload both index-providers
+    (Pallas kernel, sharded map blocks) gate with under 'mahalanobis'."""
+    thresh2 = cfg.same_cone_threshold ** 2
+    fallback = cfg.mahalanobis_gate / thresh2
+    has = (lm_info[:, 0] + lm_info[:, 2]) > 0.0
+    return jnp.where(has[:, None], _innovation_info(lm_info, cfg),
+                     jnp.asarray([fallback, 0.0, fallback], lm_info.dtype))
+
+
+def _provider_associate(glob, otype, valid, lm_xy, lm_type, lm_valid,
+                        lm_info, cfg: SlamConfig, assoc_mesh=None):
+    """(match_idx, matched, cost) for a flat observation batch from the
+    configured index-provider: the mesh-sharded map blocks when
+    `assoc_mesh` is given, else the tiled Pallas kernel. Shared by the
+    per-frame and blocked pipelines."""
+    if assoc_mesh is not None:
+        from tpuslam.parallel.map_blocks import associate_sharded
+        if cfg.association == "mahalanobis":
+            p = _mahal_packed(lm_info, cfg)
+            a, b, c = p[:, 0], p[:, 1], p[:, 2]
+            cov_inv = jnp.stack(
+                [jnp.stack([a, b], -1), jnp.stack([b, c], -1)], -2)
+            j, matched, cost = associate_sharded(
+                glob, otype, valid, lm_xy, lm_type, lm_valid,
+                cfg.mahalanobis_gate, assoc_mesh, mode="mahalanobis",
+                lm_cov_inv=cov_inv)
+        else:
+            j, matched, cost = associate_sharded(
+                glob, otype, valid, lm_xy, lm_type, lm_valid,
+                cfg.same_cone_threshold, assoc_mesh, mode=cfg.association)
+        return j.astype(jnp.int32), matched, cost
+    from tpuslam.ops.pallas_assoc import associate_pallas
+    otype_eff = jnp.where(valid, otype, -2)         # -2 never matches
+    lm_type_eff = jnp.where(lm_valid, lm_type, -1)
     if cfg.association == "mahalanobis":
-        thresh2 = cfg.same_cone_threshold ** 2
-        fallback = cfg.mahalanobis_gate / thresh2
-        info = state.lm_info_xy
-        inno = _innovation_info(info, cfg)
-        has = (info[:, 0] + info[:, 2]) > 0.0
-        a = jnp.where(has, inno[:, 0], fallback)
-        b = jnp.where(has, inno[:, 1], 0.0)
-        c = jnp.where(has, inno[:, 2], fallback)
-        cov_inv = jnp.stack(
-            [jnp.stack([a, b], -1), jnp.stack([b, c], -1)], -2)
-        j, matched, _ = associate_sharded(
-            glob_all, otype, obs_valid, g.lm_xy, g.lm_type, g.lm_valid,
-            cfg.mahalanobis_gate, mesh, mode="mahalanobis",
-            lm_cov_inv=cov_inv)
+        j, matched, cost = associate_pallas(
+            glob, otype_eff, lm_xy, lm_type_eff, cfg.mahalanobis_gate,
+            lm_cov_inv_packed=_mahal_packed(lm_info, cfg), mahalanobis=True)
     else:
-        j, matched, _ = associate_sharded(
-            glob_all, otype, obs_valid, g.lm_xy, g.lm_type, g.lm_valid,
-            cfg.same_cone_threshold, mesh, mode=cfg.association)
-    return j.astype(jnp.int32), matched
+        j, matched, cost = associate_pallas(
+            glob, otype_eff, lm_xy, lm_type_eff,
+            cfg.same_cone_threshold ** 2)
+    return j.astype(jnp.int32), matched, cost
 
 
 def _associate_pallas(state: SlamState, glob_all, obs, obs_valid,
@@ -215,26 +244,11 @@ def _associate_pallas(state: SlamState, glob_all, obs, obs_valid,
     and 'mahalanobis'; the 'first' policy needs index order and stays on
     the dense path. Zero-information landmarks fall back to the scaled
     Euclidean gate exactly like `_gate_cost`."""
-    from tpuslam.ops.pallas_assoc import associate_pallas
     g = state.graph
-    otype = obs[:, 3].astype(jnp.int32)
-    otype_eff = jnp.where(obs_valid, otype, -2)     # -2 never matches
-    lm_type_eff = jnp.where(g.lm_valid, g.lm_type, -1)
-    if cfg.association == "mahalanobis":
-        thresh2 = cfg.same_cone_threshold ** 2
-        fallback = cfg.mahalanobis_gate / thresh2
-        info = state.lm_info_xy
-        has = (info[:, 0] + info[:, 2]) > 0.0
-        packed = jnp.where(has[:, None], _innovation_info(info, cfg),
-                           jnp.asarray([fallback, 0.0, fallback], info.dtype))
-        j, matched, _ = associate_pallas(
-            glob_all, otype_eff, g.lm_xy, lm_type_eff,
-            cfg.mahalanobis_gate, lm_cov_inv_packed=packed, mahalanobis=True)
-    else:
-        j, matched, _ = associate_pallas(
-            glob_all, otype_eff, g.lm_xy, lm_type_eff,
-            cfg.same_cone_threshold ** 2)
-    return j.astype(jnp.int32), matched
+    j, matched, _ = _provider_associate(
+        glob_all, obs[:, 3].astype(jnp.int32), obs_valid, g.lm_xy,
+        g.lm_type, g.lm_valid, state.lm_info_xy, cfg)
+    return j, matched
 
 
 def _prefix_argmin_exclusive(vals, idxs):
@@ -634,16 +648,25 @@ def perform_keyframe(state: SlamState, obs, obs_valid, pose, cfg: SlamConfig,
         state, out_pose, closed, send = jax.lax.cond(
             state.loop_closure_complete, localization, mapping, state)
 
-        # Optional periodic full re-optimization (improvement; off in compat)
+        # Optional periodic re-optimization (improvement; off in compat):
+        # fixed-lag pose refinement when periodic_gn_window > 0 (cheap,
+        # scan/vmap-safe, so it runs inline even in defer mode), else the
+        # full-batch re-optimize.
         wants_periodic = jnp.asarray(False)
         if cfg.periodic_gn_every > 0:
             do = (state.keyframe_count % cfg.periodic_gn_every == 0) & \
                  (state.graph.n_landmarks > 4)
-            if defer_gn:
+            periodic_cfg = dataclasses.replace(
+                _gn_config(cfg), iterations=cfg.periodic_gn_iterations)
+            if cfg.periodic_gn_window > 0:
+                new_g = gn.optimize_window(
+                    state.graph, periodic_cfg, cfg.periodic_gn_window,
+                    cfg.periodic_gn_edge_window, enable=do,
+                    landmarks=cfg.periodic_gn_window_landmarks)
+                state = dataclasses.replace(state, graph=new_g)
+            elif defer_gn:
                 wants_periodic = do
             else:
-                periodic_cfg = dataclasses.replace(
-                    _gn_config(cfg), iterations=cfg.periodic_gn_iterations)
                 new_g = gn.optimize(state.graph, periodic_cfg, enable=do)
                 state = dataclasses.replace(state, graph=new_g)
         if cfg.use_gps_prior:

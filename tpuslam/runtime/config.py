@@ -48,6 +48,23 @@ class SlamConfig:
     periodic_gn_iterations: int = 3       # GN iterations per periodic pass
                                           # (warm-started, so few are needed;
                                           # closure still runs gn_iterations)
+    periodic_gn_window: int = 0           # >0: periodic refinement is
+                                          # FIXED-LAG — GN over the trailing
+                                          # k poses with the map held fixed
+                                          # (gn.optimize_window, ~100 us vs
+                                          # 2-4 ms for the full re-optimize);
+                                          # 0 = full-batch periodic GN. The
+                                          # closure optimization is always
+                                          # full-batch.
+    periodic_gn_edge_window: int = 2048   # trailing landmark-edge slice the
+                                          # fixed-lag refinement considers
+                                          # (completeness knob — see
+                                          # gn.window_gn_step)
+    periodic_gn_window_landmarks: bool = True
+                                          # fixed-lag refinement also updates
+                                          # the map (landmarks anchored by
+                                          # their marginalized observation
+                                          # information); False = pose-only
     mahalanobis_gate: float = 9.21        # chi2(2) 99% gate for 'mahalanobis' mode
     obs_noise_std: float = 0.3            # assumed range sigma [m] for the
                                           # Mahalanobis measurement information
@@ -105,7 +122,7 @@ class SlamConfig:
         base = dict(reference_compat=False, association="nearest",
                     localizer_type_bug=False, localizer_refine=True,
                     use_gps_prior=True, lm_info=100.0, odo_info=1.0,
-                    periodic_gn_every=8)
+                    periodic_gn_every=8, periodic_gn_window=64)
         base.update(kw)
         return cls(**base)
 
