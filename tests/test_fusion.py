@@ -225,3 +225,105 @@ def test_fused_boundary_edge_carries_no_information(session_pack):
     h_diag, h_off, gp = gn.assemble_odometry(fused, gn.GNConfig())
     b = int(graphs[0].n_poses)  # first pose of session 1
     np.testing.assert_array_equal(np.asarray(h_off[b]), np.zeros((3, 3)))
+
+
+def _improved_sessions(n_sess, cap, cfg, rigid_offsets=None, laps=1.2,
+                       keyframe_dt=0.25):
+    """Like _sessions but returns full SlamStates (for lm_info_xy)."""
+    states, scens = [], []
+    for s in range(n_sess):
+        scen = simulate(trackdrive(seed=11),
+                        SimConfig(laps=laps, keyframe_dt=keyframe_dt,
+                                  speed=8.0, max_range=20.0, seed=100 + s))
+        t = len(scen.times)
+        poses = np.asarray(scen.odom_poses[:t], np.float32)
+        if rigid_offsets is not None:
+            tx, ty, th = rigid_offsets[s]
+            c, si = np.cos(th), np.sin(th)
+            xy = poses[:, :2] @ np.array([[c, si], [-si, c]], np.float32)
+            poses = np.stack([xy[:, 0] + tx, xy[:, 1] + ty,
+                              poses[:, 2] + th], -1).astype(np.float32)
+        st, _ = run_sequence(initial_state(cap),
+                             jnp.asarray(scen.obs[:t], jnp.float32),
+                             jnp.asarray(scen.obs_valid[:t]),
+                             jnp.asarray(poses), cfg)
+        states.append(st)
+        scens.append(scen)
+    return states, scens
+
+
+def _map_err(lm_xy, n, track_xy):
+    lm = np.asarray(lm_xy)[:int(n)]
+    return float(np.median(np.linalg.norm(
+        lm[:, None, :] - track_xy[None], axis=-1).min(axis=1)))
+
+
+def test_fused_full_lap_beats_best_session():
+    """The VERDICT r2 quality bar: fusing S full-lap improved-mode sessions
+    (info-weighted merge + joint GN) must produce a map at least as good as
+    the BEST single input session — eight laps fused should beat one lap,
+    not lose to it."""
+    cap = GraphCapacity(max_poses=128, max_landmarks=128, max_obs=2048)
+    cfg = SlamConfig.improved(capacity=cap, association="mahalanobis",
+                              periodic_gn_every=0)
+    states, scens = _improved_sessions(4, cap, cfg)
+    track_xy = scens[0].track.cones_xy
+    stacked = stack_graphs([st.graph for st in states])
+    lm_info = jnp.stack([st.lm_info_xy for st in states])
+    gncfg = gn.GNConfig(odo_info=cfg.odo_info, lm_info=cfg.lm_info,
+                        iterations=5, fix_first_poses=0,
+                        fix_first_landmarks=0)
+    fused, report = fusion.fuse_sessions(stacked, cfg=gncfg,
+                                         gate=cfg.same_cone_threshold,
+                                         lm_info=lm_info)
+    err_fused = _map_err(fused.lm_xy, fused.n_landmarks, track_xy)
+    errs = [_map_err(st.graph.lm_xy, st.graph.n_landmarks, track_xy)
+            for st in states]
+    assert err_fused <= min(errs) + 1e-3, (err_fused, errs)
+
+
+def test_fusion_info_weighted_merge_beats_count_weighted():
+    """On sessions with heterogeneous landmark quality, the information-
+    weighted merge (exact Gaussian fusion) must not be worse than the
+    obs-count-weighted mean."""
+    cap = GraphCapacity(max_poses=128, max_landmarks=128, max_obs=2048)
+    cfg = SlamConfig.improved(capacity=cap, association="mahalanobis",
+                              periodic_gn_every=0)
+    states, scens = _improved_sessions(3, cap, cfg)
+    track_xy = scens[0].track.cones_xy
+    stacked = stack_graphs([st.graph for st in states])
+    lm_info = jnp.stack([st.lm_info_xy for st in states])
+    # merge only (no joint GN) isolates the weighting scheme
+    f_cnt, _ = fusion.fuse_sessions(stacked, cfg=None,
+                                    gate=cfg.same_cone_threshold)
+    f_inf, _ = fusion.fuse_sessions(stacked, cfg=None,
+                                    gate=cfg.same_cone_threshold,
+                                    lm_info=lm_info)
+    e_cnt = _map_err(f_cnt.lm_xy, f_cnt.n_landmarks, track_xy)
+    e_inf = _map_err(f_inf.lm_xy, f_inf.n_landmarks, track_xy)
+    assert e_inf <= e_cnt + 5e-3, (e_inf, e_cnt)
+
+
+def test_fusion_with_drifted_sessions_recovers():
+    """Alignment + fusion on realistically drifted/offset improved sessions:
+    the fused map must stay within the per-session error band."""
+    cap = GraphCapacity(max_poses=128, max_landmarks=128, max_obs=2048)
+    cfg = SlamConfig.improved(capacity=cap, association="mahalanobis",
+                              periodic_gn_every=0)
+    offs = [(0.0, 0.0, 0.0), (0.5, -0.4, 0.03), (-0.4, 0.3, -0.02)]
+    states, scens = _improved_sessions(3, cap, cfg, rigid_offsets=offs)
+    track_xy = scens[0].track.cones_xy
+    stacked = stack_graphs([st.graph for st in states])
+    lm_info = jnp.stack([st.lm_info_xy for st in states])
+    gncfg = gn.GNConfig(odo_info=cfg.odo_info, lm_info=cfg.lm_info,
+                        iterations=5, fix_first_poses=0,
+                        fix_first_landmarks=0)
+    fused, report = fusion.fuse_sessions(stacked, cfg=gncfg, gate=2.0,
+                                         lm_info=lm_info)
+    # offset sessions must actually register (not just session 0)
+    assert int(report["n_align_matched"][1]) > 20
+    assert int(report["n_align_matched"][2]) > 20
+    err_fused = _map_err(fused.lm_xy, fused.n_landmarks, track_xy)
+    err0 = _map_err(states[0].graph.lm_xy, states[0].graph.n_landmarks,
+                    track_xy)
+    assert err_fused < max(2.0 * err0, 0.15), (err_fused, err0)
