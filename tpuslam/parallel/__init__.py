@@ -8,6 +8,10 @@ from tpuslam.parallel.multisession import multisession_optimize, stack_graphs  #
 from tpuslam.parallel.chain import chain_optimize, partition_edges_by_pose_block  # noqa: F401
 from tpuslam.parallel.fleet import run_fleet_blocked  # noqa: F401
 from tpuslam.parallel.map_blocks import associate_sharded  # noqa: F401
+from tpuslam.parallel.resident import (  # noqa: F401
+    chain_optimize_resident, partition_chain_resident,
+    resident_comm_bytes_per_iteration,
+)
 from tpuslam.parallel.fusion import (  # noqa: F401
     align_to_anchor, fuse_graphs, fuse_sessions,
 )

@@ -51,7 +51,55 @@ from tpuslam.backend.residuals import odometry_residuals
 from tpuslam.geometry import se2
 
 __all__ = ["partition_edges_by_pose_block", "chain_gn_step", "chain_optimize",
-           "ChainPlan", "partition_chain", "chain_gn_step_dd"]
+           "ChainPlan", "partition_chain", "chain_gn_step_dd",
+           "assemble_pose_rows"]
+
+
+def assemble_pose_rows(poses_l, odo_l, odo_w_sh, prior_pose_l, prior_info_l,
+                       cfg: gn.GNConfig, n_poses, n_dev: int, base, axis: str):
+    """Per-shard odometry + prior assembly shared by every chain solver.
+
+    Returns (h_diag_l [b,3,3], h_off_l [b,3,3] (block (k-1,k)), gp_l [b,3],
+    halo-returned contributions already folded). Pure function of the
+    shard's pose block; the ppermute halo exchange with the neighbors is the
+    only communication.
+    """
+    b = poses_l.shape[0]
+    dtype = poses_l.dtype
+    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    halo = jax.lax.ppermute(poses_l[-1:], axis, perm)[0]
+    k_local = jnp.arange(b)
+    k_global = base + k_local
+    p_prev = jnp.concatenate([halo[None, :], poses_l[:-1]], axis=0)
+    odo_valid = (k_global >= 1) & (k_global < n_poses)
+    r_o, j_oi, j_oj = odometry_residuals(p_prev, poses_l, odo_l)
+    w_o = jnp.asarray(cfg.odo_info, dtype) * odo_valid.astype(dtype) \
+        * odo_w_sh
+    w3 = w_o[:, None, None]
+    jti = jnp.swapaxes(j_oi, -1, -2)
+    jtj = jnp.swapaxes(j_oj, -1, -2)
+    a_ii = w3 * (jti @ j_oi)
+    a_jj = w3 * (jtj @ j_oj)
+    h_off_l = w3 * (jti @ j_oj)          # block (k-1, k)
+    g_i = w_o[:, None] * (jti @ r_o[..., None])[..., 0]
+    g_j = w_o[:, None] * (jtj @ r_o[..., None])[..., 0]
+    back = [((i + 1) % n_dev, i) for i in range(n_dev)]
+    a_ii_halo = jax.lax.ppermute(a_ii[:1], axis, back)[0]
+    g_i_halo = jax.lax.ppermute(g_i[:1], axis, back)[0]
+    h_diag_l = a_jj.at[:-1].add(a_ii[1:]).at[-1].add(a_ii_halo)
+    gp_l = g_j.at[:-1].add(g_i[1:]).at[-1].add(g_i_halo)
+
+    pose_valid = (k_global < n_poses).astype(dtype)
+    ixy = prior_info_l[:, 0] * pose_valid
+    ith = prior_info_l[:, 1] * pose_valid
+    eye_xy = jnp.zeros((3, 3), dtype).at[0, 0].set(1.0).at[1, 1].set(1.0)
+    eye_th = jnp.zeros((3, 3), dtype).at[2, 2].set(1.0)
+    h_diag_l = h_diag_l + ixy[:, None, None] * eye_xy \
+        + ith[:, None, None] * eye_th
+    r_pr = poses_l - prior_pose_l
+    r_pr = r_pr.at[:, 2].set(se2.wrap_angle(r_pr[:, 2]))
+    gp_l = gp_l + r_pr * jnp.stack([ixy, ixy, ith], axis=-1)
+    return h_diag_l, h_off_l, gp_l
 
 
 def partition_edges_by_pose_block(g: FactorGraph, n_shards: int) -> FactorGraph:
@@ -112,44 +160,9 @@ def chain_gn_step(g: FactorGraph, edge_counts, cfg: gn.GNConfig, mesh) -> Factor
         dev = jax.lax.axis_index("chain")
         base = dev * block
 
-        # --- halo: previous block's last pose from the left neighbor
-        perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
-        halo = jax.lax.ppermute(poses_l[-1:], "chain", perm)[0]
-
-        k_local = jnp.arange(block)
-        k_global = base + k_local
-        p_prev = jnp.concatenate([halo[None, :], poses_l[:-1]], axis=0)
-        odo_valid = (k_global >= 1) & (k_global < n_poses)
-        r_o, j_oi, j_oj = odometry_residuals(p_prev, poses_l, odo_l)
-        w_o = jnp.asarray(cfg.odo_info, dtype) * odo_valid.astype(dtype) \
-            * odo_w_sh
-        w3 = w_o[:, None, None]
-        jti = jnp.swapaxes(j_oi, -1, -2)
-        jtj = jnp.swapaxes(j_oj, -1, -2)
-        a_ii = w3 * (jti @ j_oi)          # contribution to (k-1, k-1)
-        a_jj = w3 * (jtj @ j_oj)          # to (k, k)
-        h_off_l = w3 * (jti @ j_oj)       # to (k-1, k)
-        g_i = w_o[:, None] * (jti @ r_o[..., None])[..., 0]
-        g_j = w_o[:, None] * (jtj @ r_o[..., None])[..., 0]
-
-        # a_ii/g_i of the block's FIRST edge belongs to the left neighbor's
-        # last pose: send it back with the reverse permutation
-        back = [((i + 1) % n_dev, i) for i in range(n_dev)]
-        a_ii_halo = jax.lax.ppermute(a_ii[:1], "chain", back)[0]
-        g_i_halo = jax.lax.ppermute(g_i[:1], "chain", back)[0]
-        h_diag_l = a_jj.at[:-1].add(a_ii[1:]).at[-1].add(a_ii_halo)
-        gp_l = g_j.at[:-1].add(g_i[1:]).at[-1].add(g_i_halo)
-
-        # --- absolute priors (local)
-        pose_valid = (k_global < n_poses).astype(dtype)
-        ixy = prior_info_l[:, 0] * pose_valid
-        ith = prior_info_l[:, 1] * pose_valid
-        eye_xy = jnp.zeros((3, 3), dtype).at[0, 0].set(1.0).at[1, 1].set(1.0)
-        eye_th = jnp.zeros((3, 3), dtype).at[2, 2].set(1.0)
-        h_diag_l = h_diag_l + ixy[:, None, None] * eye_xy + ith[:, None, None] * eye_th
-        r_pr = poses_l - prior_pose_l
-        r_pr = r_pr.at[:, 2].set(se2.wrap_angle(r_pr[:, 2]))
-        gp_l = gp_l + r_pr * jnp.stack([ixy, ixy, ith], axis=-1)
+        h_diag_l, h_off_l, gp_l = assemble_pose_rows(
+            poses_l, odo_l, odo_w_sh, prior_pose_l, prior_info_l, cfg,
+            n_poses, n_dev, base, "chain")
 
         # --- landmark edges owned by this block (pose indices localized)
         eb = obs_pose_l.shape[0]
@@ -374,41 +387,12 @@ def chain_gn_step_dd(g: FactorGraph, plan: ChainPlan, cfg: gn.GNConfig,
                   owner_sh, shared_idx, n_poses, n_landmarks):
         dev = jax.lax.axis_index("chain")
         base = dev * b
-
-        # ---- assembly: identical to chain_gn_step ----
         perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
-        halo = jax.lax.ppermute(poses_l[-1:], "chain", perm)[0]
-        k_local = jnp.arange(b)
-        k_global = base + k_local
-        p_prev = jnp.concatenate([halo[None, :], poses_l[:-1]], axis=0)
-        odo_valid = (k_global >= 1) & (k_global < n_poses)
-        r_o, j_oi, j_oj = odometry_residuals(p_prev, poses_l, odo_l)
-        w_o = jnp.asarray(cfg.odo_info, dtype) * odo_valid.astype(dtype) \
-            * odo_w_sh
-        w3 = w_o[:, None, None]
-        jti = jnp.swapaxes(j_oi, -1, -2)
-        jtj = jnp.swapaxes(j_oj, -1, -2)
-        a_ii = w3 * (jti @ j_oi)
-        a_jj = w3 * (jtj @ j_oj)
-        h_off_l = w3 * (jti @ j_oj)          # block (k-1, k)
-        g_i = w_o[:, None] * (jti @ r_o[..., None])[..., 0]
-        g_j = w_o[:, None] * (jtj @ r_o[..., None])[..., 0]
-        back = [((i + 1) % n_dev, i) for i in range(n_dev)]
-        a_ii_halo = jax.lax.ppermute(a_ii[:1], "chain", back)[0]
-        g_i_halo = jax.lax.ppermute(g_i[:1], "chain", back)[0]
-        h_diag_l = a_jj.at[:-1].add(a_ii[1:]).at[-1].add(a_ii_halo)
-        gp_l = g_j.at[:-1].add(g_i[1:]).at[-1].add(g_i_halo)
+        k_global = base + jnp.arange(b)
 
-        pose_valid = (k_global < n_poses).astype(dtype)
-        ixy = prior_info_l[:, 0] * pose_valid
-        ith = prior_info_l[:, 1] * pose_valid
-        eye_xy = jnp.zeros((3, 3), dtype).at[0, 0].set(1.0).at[1, 1].set(1.0)
-        eye_th = jnp.zeros((3, 3), dtype).at[2, 2].set(1.0)
-        h_diag_l = h_diag_l + ixy[:, None, None] * eye_xy \
-            + ith[:, None, None] * eye_th
-        r_pr = poses_l - prior_pose_l
-        r_pr = r_pr.at[:, 2].set(se2.wrap_angle(r_pr[:, 2]))
-        gp_l = gp_l + r_pr * jnp.stack([ixy, ixy, ith], axis=-1)
+        h_diag_l, h_off_l, gp_l = assemble_pose_rows(
+            poses_l, odo_l, odo_w_sh, prior_pose_l, prior_info_l, cfg,
+            n_poses, n_dev, base, "chain")
 
         eb = obs_pose_l.shape[0]
         w_l = jnp.asarray(cfg.lm_info, dtype) * \

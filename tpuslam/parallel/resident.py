@@ -1,0 +1,407 @@
+"""Resident-sharded map state: landmark blocks LIVE on their owning device.
+
+VERDICT r2 missing #1 / next #4: every earlier tier kept the full landmark
+array replicated on every device — `chain_gn_step_dd` closes over a
+replicated `lm_xy` and psums two O(L) reductions per iteration, so pod-scale
+map capacity was bounded by one chip's HBM regardless of chip count. This
+module removes that wall for the chain solver:
+
+- **Layout** (`partition_chain_resident`, host-side, once per solve): the
+  DD plan's owner classification (tpuslam/parallel/chain.py:partition_chain
+  — a landmark is *local* to pose-block d when every observing pose lies in
+  block d, else *shared*) becomes a physical layout: block d's local
+  landmarks are packed into a [Lb] shard resident on device d; only the
+  shared landmarks (the block-boundary interface, O(n_dev + overlap)) are
+  replicated. Edge landmark indices are remapped to device-local slots —
+  every edge's landmark is either local to its own block or shared, by
+  construction, so no edge ever references another device's shard.
+- **Solve** (`chain_gn_step_dd_resident`): identical linear algebra to
+  `chain_gn_step_dd`, but the landmark arrays inside shard_map are
+  [Lb + shared_cap], not [L]. Local Hll/gl/updates need NO reduction at all
+  (only the owner's edges touch them); only the shared rows psum. Comm per
+  iteration: two pose-halo ppermutes + one [m, m] interface psum +
+  [shared_cap]-sized shared-landmark psums, with m = 3*n_dev + 2*shared_cap
+  — nothing O(L), and no participant materializes the full landmark array.
+- Per-device landmark memory: O(L / n_dev + shared_cap). Adding devices now
+  adds map capacity — the actual "map blocks" scaling law (SURVEY.md §2.4).
+
+Numerics: same elimination order as the DD solve (local landmarks -> block
+interior -> interface), so results match `chain_gn_step_dd` to f32
+reduction-order tolerance and the single-device `gn_step` likewise
+(tests/test_parallel.py::test_resident_*).
+
+The reference anchor being generalized: the single in-RAM `m_map`
+std::vector scanned on one core (reference src/slam.cpp:552-635).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from tpuslam.backend import gauss_newton as gn
+from tpuslam.backend.graph import FactorGraph
+from tpuslam.geometry import se2
+from tpuslam.parallel.chain import (assemble_pose_rows,
+                                    partition_edges_by_pose_block)
+
+__all__ = ["ResidentChainPlan", "partition_chain_resident",
+           "chain_gn_step_dd_resident", "chain_optimize_resident",
+           "resident_comm_bytes_per_iteration"]
+
+
+@dataclasses.dataclass(frozen=True)
+class ResidentChainPlan:
+    """Host-side layout for the resident DD solve (static per graph layout).
+
+    lm_local_gid[d, j] is the GLOBAL landmark id living in shard d's slot j
+    (L = padding). obs_lm in `graph` is remapped to DEVICE-LOCAL slots:
+    [0, lb) = the block's resident landmarks, [lb, lb + shared_cap) = the
+    replicated shared interface.
+    """
+    graph: FactorGraph          # edges reordered per block + lm REMAPPED
+    edge_counts: jax.Array      # [D]
+    lm_local_gid: jax.Array     # [D, lb] global id per resident slot (L=pad)
+    shared_idx: jax.Array       # [shared_cap] global ids (L = pad)
+    n_dev: int
+    lb: int                     # resident landmark slots per device
+    shared_cap: int
+    n_shared: int
+
+    def __hash__(self):
+        return id(self)
+
+    def __eq__(self, other):
+        return self is other
+
+
+def partition_chain_resident(g: FactorGraph, n_shards: int,
+                             lb: int | None = None,
+                             shared_cap: int | None = None
+                             ) -> ResidentChainPlan:
+    """Classify landmarks (owner/shared, as partition_chain), pack owners
+    into per-device resident shards, and remap edge landmark indices to
+    device-local slots."""
+    cap = g.capacity
+    d = n_shards
+    block = cap.max_poses // d
+    if block < 3:
+        raise ValueError("resident DD solve needs >= 3 poses per block")
+    g2, counts = partition_edges_by_pose_block(g, d)
+    n_obs = int(g.n_obs)
+    op = np.asarray(g.obs_pose)[:n_obs]
+    ol = np.asarray(g.obs_lm)[:n_obs]
+    owner_blk = op // block
+    L = cap.max_landmarks
+    min_o = np.full(L, d, np.int64)
+    max_o = np.full(L, -1, np.int64)
+    np.minimum.at(min_o, ol, owner_blk)
+    np.maximum.at(max_o, ol, owner_blk)
+    n_lm = int(g.n_landmarks)
+    valid = np.arange(L) < n_lm
+    shared = valid & (max_o >= 0) & (max_o != min_o)
+    local = valid & (max_o >= 0) & (max_o == min_o)
+
+    sh_list = np.flatnonzero(shared)
+    n_shared = len(sh_list)
+    if shared_cap is None:
+        shared_cap = max(16, -(-max(n_shared, 1) // 16) * 16)
+    if n_shared > shared_cap:
+        raise ValueError(f"{n_shared} shared landmarks > cap {shared_cap}")
+    shared_idx = np.full(shared_cap, L, np.int32)
+    shared_idx[:n_shared] = sh_list
+    shared_rank = np.full(L, -1, np.int64)
+    shared_rank[sh_list] = np.arange(n_shared)
+
+    # pack local landmarks per owning block
+    per_block = [np.flatnonzero(local & (min_o == dev)) for dev in range(d)]
+    need = max((len(p) for p in per_block), default=1)
+    if lb is None:
+        lb = max(8, -(-max(need, 1) // 8) * 8)
+    if need > lb:
+        raise ValueError(f"a block owns {need} landmarks > resident cap {lb}")
+    lm_local_gid = np.full((d, lb), L, np.int32)
+    local_slot = np.full(L, -1, np.int64)
+    for dev, ids in enumerate(per_block):
+        lm_local_gid[dev, :len(ids)] = ids
+        local_slot[ids] = np.arange(len(ids))
+
+    # remap edge landmark ids to device-local slots (edges were reordered by
+    # partition_edges_by_pose_block: block dev occupies [dev*eb, dev*eb+cnt))
+    eb = cap.max_obs // d
+    new_ol = np.zeros(cap.max_obs, np.int32)
+    op2 = np.asarray(g2.obs_pose)
+    ol2 = np.asarray(g2.obs_lm)
+    for dev in range(d):
+        base = dev * eb
+        cnt = int(counts[dev])
+        for e in range(base, base + cnt):
+            gl_ = int(ol2[e])
+            if shared_rank[gl_] >= 0:
+                new_ol[e] = lb + shared_rank[gl_]
+            elif local_slot[gl_] >= 0:
+                assert min_o[gl_] == dev, (gl_, min_o[gl_], dev)
+                new_ol[e] = local_slot[gl_]
+            else:   # edge to a landmark with no classification: impossible
+                raise AssertionError(f"unclassified landmark {gl_}")
+    g2 = dataclasses.replace(g2, obs_lm=jnp.asarray(new_ol))
+    return ResidentChainPlan(
+        graph=g2, edge_counts=counts,
+        lm_local_gid=jnp.asarray(lm_local_gid),
+        shared_idx=jnp.asarray(shared_idx), n_dev=d, lb=int(lb),
+        shared_cap=int(shared_cap), n_shared=n_shared)
+
+
+def chain_gn_step_dd_resident(poses, odo_meas, odo_w, prior_pose, prior_info,
+                              lm_loc, lm_loc_ok, lm_shared, sh_ok_arr,
+                              plan: ResidentChainPlan, cfg: gn.GNConfig,
+                              mesh, n_poses, n_landmarks):
+    """One resident GN iteration. State arrays, not a FactorGraph: poses and
+    lm_loc are chain-sharded, lm_shared is replicated [shared_cap, 2].
+
+    Returns (new_poses, new_lm_loc, new_lm_shared).
+    """
+    g = plan.graph
+    cap = g.capacity
+    n_dev = plan.n_dev
+    b = cap.max_poses // n_dev
+    ni = b - 1
+    lb = plan.lb
+    lsh = plan.shared_cap
+    ldev = lb + lsh
+    m = 3 * n_dev + 3 + 2 * lsh
+    dtype = poses.dtype
+    plan_L = cap.max_landmarks
+
+    pose_spec = P("chain")
+    rep = P()
+
+    def per_shard(poses_l, odo_l, odo_w_sh, prior_pose_l, prior_info_l,
+                  obs_pose_l, obs_lm_l, obs_xy_l, counts_l,
+                  lm_loc_l, lm_gid_l, lm_sh, sh_idx):
+        dev = jax.lax.axis_index("chain")
+        base = dev * b
+        perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+        k_global = base + jnp.arange(b)
+
+        h_diag_l, h_off_l, gp_l = assemble_pose_rows(
+            poses_l, odo_l, odo_w_sh, prior_pose_l, prior_info_l, cfg,
+            n_poses, n_dev, base, "chain")
+
+        # device-local landmark table: [lb resident | lsh shared]
+        lm_dev = jnp.concatenate([lm_loc_l, lm_sh], axis=0)      # [ldev, 2]
+        eb = obs_pose_l.shape[0]
+        w_l = jnp.asarray(cfg.lm_info, dtype) * \
+            (jnp.arange(eb) < counts_l[0]).astype(dtype)
+        local_idx = jnp.clip(obs_pose_l - base, 0, b - 1)
+        h_diag_lm, w0, w1, hll, gp_lm, gl = \
+            gn._landmark_edge_blocks_split(
+                poses_l, lm_dev, local_idx, obs_lm_l, obs_xy_l, w_l, ldev)
+        h_diag_l = h_diag_l + h_diag_lm
+        gp_l = gp_l + gp_lm
+        # ONLY the shared rows reduce (local rows see only this block's
+        # edges) — [lsh] instead of the replicated path's O(L)
+        hll_sh, gl_sh = jax.lax.psum((hll[lb:], gl[lb:]), "chain")
+        hll = hll.at[lb:].set(hll_sh)
+        gl = gl.at[lb:].set(gl_sh)
+
+        # ---- gauge ----
+        free_pose = (k_global >= cfg.fix_first_poses) & (k_global < n_poses)
+        fpb = free_pose.astype(dtype)[:, None, None]
+        eye3 = jnp.eye(3, dtype=dtype)
+        h_diag_l = h_diag_l * fpb + eye3 * (1.0 - fpb)
+        prev_free = jnp.concatenate(
+            [jax.lax.ppermute(free_pose[-1:], "chain", perm),
+             free_pose[:-1]])
+        pair = (free_pose & prev_free & (k_global >= 1)).astype(dtype)
+        h_off_l = h_off_l * pair[:, None, None]
+        # landmark gauge by GLOBAL id (reference clamps ids 0,1)
+        gid_dev = jnp.concatenate([lm_gid_l, sh_idx])  # [ldev] ids (L=pad)
+        free_lm = (gid_dev >= cfg.fix_first_landmarks) & \
+            (gid_dev < n_landmarks)
+        flm = free_lm.astype(dtype)
+        w0 = w0 * free_pose.astype(dtype).repeat(3)[:, None] * flm[None, :]
+        w1 = w1 * free_pose.astype(dtype).repeat(3)[:, None] * flm[None, :]
+        eye2 = jnp.eye(2, dtype=dtype)
+        flb = flm[:, None, None]
+        hll = hll * flb + eye2 * (1.0 - flb)
+        gp_l = gp_l * free_pose.astype(dtype)[:, None]
+        gl = gl * flm[:, None]
+        if cfg.damping:
+            h_diag_l = h_diag_l + eye3 * jnp.asarray(cfg.damping, dtype) * fpb
+            hll = hll + eye2 * jnp.asarray(cfg.damping, dtype) * flb
+
+        # ---- eliminate RESIDENT landmarks (every [0, lb) row is owned) ----
+        hll_inv = gn._inv2x2(hll)
+        ia, ib_, ic = hll_inv[:, 0, 0], hll_inv[:, 0, 1], hll_inv[:, 1, 1]
+        locf = (jnp.arange(ldev) < lb).astype(dtype) * flm
+        w0_loc = w0 * locf[None, :]
+        w1_loc = w1 * locf[None, :]
+        wa0 = w0_loc * ia[None, :] + w1_loc * ib_[None, :]
+        wa1 = w0_loc * ib_[None, :] + w1_loc * ic[None, :]
+        s_block = gn.densify_hpp(h_diag_l, h_off_l) \
+            - (wa0 @ w0_loc.T + wa1 @ w1_loc.T)
+        gl0, gl1 = gl[:, 0], gl[:, 1]
+        g_eff = gp_l.reshape(-1) - (wa0 @ gl0 + wa1 @ gl1)
+
+        # ---- interior | separator split ----
+        a_mat = s_block[:3 * ni, :3 * ni]
+        b_own = s_block[:3 * ni, 3 * ni:]
+        c_sep = s_block[3 * ni:, 3 * ni:]
+        g_int = g_eff[:3 * ni]
+        g_sep = g_eff[3 * ni:]
+
+        sh_ok = (sh_idx < plan_L).astype(dtype)
+        # shared columns are exactly the [lb, ldev) slice — no gather
+        w_sh = jnp.stack([w0[:, lb:], w1[:, lb:]], axis=-1) \
+            .reshape(3 * b, 2 * lsh)
+
+        b_full = jnp.zeros((3 * ni, m), dtype)
+        b_full = jax.lax.dynamic_update_slice(b_full, b_own, (0, 3 * dev))
+        prev_col = jnp.where(dev > 0, 3 * (dev - 1), 3 * n_dev)
+        b_full = jax.lax.dynamic_update_slice(b_full, h_off_l[0].T,
+                                              (0, prev_col))
+        b_full = b_full.at[:, 3 * n_dev + 3:].set(w_sh[:3 * ni])
+
+        c_full = jnp.zeros((m, m), dtype)
+        c_full = jax.lax.dynamic_update_slice(c_full, c_sep,
+                                              (3 * dev, 3 * dev))
+        w_sep_sh = w_sh[3 * ni:]
+        c_full = jax.lax.dynamic_update_slice(c_full, w_sep_sh,
+                                              (3 * dev, 3 * n_dev + 3))
+        c_full = jax.lax.dynamic_update_slice(c_full, w_sep_sh.T,
+                                              (3 * n_dev + 3, 3 * dev))
+        hll_sh2 = hll[lb:]
+        once = (dev == 0).astype(dtype)
+        r2 = jnp.arange(2 * lsh)
+        blk2 = r2 // 2
+        same2 = (blk2[:, None] == blk2[None, :]).astype(dtype)
+        hll_dense = same2 * jnp.broadcast_to(
+            hll_sh2.reshape(2 * lsh, 1, 2), (2 * lsh, lsh, 2)
+        ).reshape(2 * lsh, 2 * lsh)
+        c_full = c_full.at[3 * n_dev + 3:, 3 * n_dev + 3:].add(
+            once * hll_dense)
+        g_if = jnp.zeros((m,), dtype)
+        g_if = jax.lax.dynamic_update_slice(g_if, g_sep, (3 * dev,))
+        g_if = g_if.at[3 * n_dev + 3:].add(once * gl[lb:].reshape(2 * lsh))
+
+        chol_a = jnp.linalg.cholesky(a_mat)
+        x_b = jax.scipy.linalg.cho_solve((chol_a, True), b_full)
+        y_g = jax.scipy.linalg.cho_solve((chol_a, True), g_int)
+        s_if_part = c_full - b_full.T @ x_b
+        g_if_part = g_if - b_full.T @ y_g
+
+        # THE reduction: O(m^2), nothing O(L)
+        s_if, g_hat = jax.lax.psum((s_if_part, g_if_part), "chain")
+
+        sep_valid = jax.lax.all_gather(
+            ((base + b - 1) < n_poses).astype(dtype)[None], "chain"
+        ).reshape(-1).repeat(3)
+        act = jnp.concatenate([sep_valid, jnp.zeros((3,), dtype),
+                               sh_ok.repeat(2)])
+        s_if = s_if * act[:, None] * act[None, :] + jnp.diag(1.0 - act)
+        g_hat = g_hat * act
+
+        chol_if = jnp.linalg.cholesky(s_if)
+        dx_if = jax.scipy.linalg.cho_solve((chol_if, True), -g_hat)
+
+        dp_int = jax.scipy.linalg.cho_solve(
+            (chol_a, True), -g_int - b_full @ dx_if)
+        dp_sep = jax.lax.dynamic_slice(dx_if, (3 * dev,), (3,))
+        dp_blk = jnp.concatenate([dp_int, dp_sep]).reshape(b, 3)
+
+        # ---- landmark updates: resident ones stay local, NO psum ----
+        dp_flat = dp_blk.reshape(-1)
+        r0 = gl0 + w0_loc.T @ dp_flat
+        r1 = gl1 + w1_loc.T @ dp_flat
+        dl_dev = -jnp.stack([ia * r0 + ib_ * r1, ib_ * r0 + ic * r1],
+                            axis=-1) * locf[:, None]
+        new_loc = lm_loc_l + dl_dev[:lb]
+        dl_sh = dx_if[3 * n_dev + 3:].reshape(lsh, 2) * sh_ok[:, None]
+        new_sh = lm_sh + dl_sh
+
+        new_local = poses_l + dp_blk
+        new_local = new_local.at[:, 2].set(
+            se2.wrap_angle(new_local[:, 2]))
+        return new_local, new_loc, new_sh
+
+    fn = shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(pose_spec, pose_spec, pose_spec, pose_spec, pose_spec,
+                  pose_spec, pose_spec, pose_spec, pose_spec,
+                  pose_spec, pose_spec, rep, rep),
+        out_specs=(pose_spec, pose_spec, rep),
+        check_vma=False)  # lm_shared output replication is post-psum
+    with jax.default_matmul_precision("highest"):
+        return fn(poses, odo_meas, odo_w, prior_pose, prior_info,
+                  g.obs_pose, g.obs_lm, g.obs_xy, plan.edge_counts,
+                  lm_loc, lm_loc_ok, lm_shared, sh_ok_arr)
+
+
+@functools.lru_cache(maxsize=32)
+def _resident_runner(plan: ResidentChainPlan, cfg: gn.GNConfig, mesh):
+    @jax.jit
+    def run(poses, odo_meas, odo_w, prior_pose, prior_info,
+            lm_loc, lm_gid, lm_shared, sh_ids, n_poses, n_landmarks):
+        def body(_, carry):
+            p, ll, ls = carry
+            return chain_gn_step_dd_resident(
+                p, odo_meas, odo_w, prior_pose, prior_info,
+                ll, lm_gid, ls, sh_ids, plan, cfg, mesh,
+                n_poses, n_landmarks)
+        return jax.lax.fori_loop(0, cfg.iterations, body,
+                                 (poses, lm_loc, lm_shared))
+
+    return run
+
+
+def chain_optimize_resident(g: FactorGraph, cfg: gn.GNConfig, mesh,
+                            plan: ResidentChainPlan | None = None
+                            ) -> FactorGraph:
+    """Full resident DD GN: partition once, iterate with the landmark map
+    physically sharded. Host wrapper gathers the shards back into the
+    FactorGraph at the end (callers wanting to KEEP the sharded layout
+    across solves should use `_resident_runner` + the plan directly)."""
+    if plan is None:
+        plan = partition_chain_resident(g, mesh.devices.size)
+    L = g.capacity.max_landmarks
+    gid = plan.lm_local_gid                                  # [D, lb]
+    lm_loc = g.lm_xy[jnp.clip(gid, 0, L - 1)].reshape(-1, 2) \
+        * (gid < L).reshape(-1, 1)
+    sh = plan.shared_idx
+    lm_shared = g.lm_xy[jnp.clip(sh, 0, L - 1)] * (sh < L)[:, None]
+    g2 = plan.graph
+    new_poses, new_loc, new_sh = _resident_runner(plan, cfg, mesh)(
+        g2.poses, g2.odo_meas, g2.odo_w, g2.prior_pose, g2.prior_info,
+        lm_loc, gid.reshape(-1), lm_shared, sh, g.n_poses, g.n_landmarks)
+    # scatter resident + shared shards back to global landmark order
+    gid_f = gid.reshape(-1)
+    lm = g.lm_xy.at[jnp.where(gid_f < L, gid_f, L)].set(new_loc, mode="drop")
+    lm = lm.at[jnp.where(sh < L, sh, L)].set(new_sh, mode="drop")
+    return dataclasses.replace(g, poses=new_poses, lm_xy=lm)
+
+
+def resident_comm_bytes_per_iteration(plan: ResidentChainPlan) -> dict:
+    """Analytic per-iteration communication volume (bytes, f32) of the
+    resident DD solve — the numbers SCALING_r03's model is built from."""
+    m = 3 * plan.n_dev + 3 + 2 * plan.shared_cap
+    b = plan.graph.capacity.max_poses // plan.n_dev
+    return {
+        "pose_halo_ppermute": 2 * (3 + 9 + 3) * 4,    # pose row + a_ii + g_i
+        "interface_psum": (m * m + m) * 4,
+        "shared_hll_gl_psum": (plan.shared_cap * 4 + plan.shared_cap * 2) * 4,
+        "sep_valid_all_gather": plan.n_dev * 4,
+        "total": (2 * 18 + m * m + m + plan.shared_cap * 6
+                  + plan.n_dev) * 4,
+        "replicated_path_total_for_comparison": (
+            # chain_gn_step: W all_gather + Hpp/gp gathers + O(L) psums
+            (3 * b * 2 * plan.graph.capacity.max_landmarks
+             + 2 * 9 * b + 3 * b
+             + plan.graph.capacity.max_landmarks * 6) * 4 * plan.n_dev),
+        "note": "m = 3*n_dev + 3 + 2*shared_cap; nothing scales with L",
+    }
