@@ -226,3 +226,60 @@ def test_cli_replay_attention_od_config(tmp_path, capsys):
     out = json.loads(capsys.readouterr().out)
     assert out["counters"]["point_cloud_messages"] == 5
     assert 3 <= out["gauges"]["landmarks"] <= len(cones_global) + 1
+
+
+def test_live_viewer_runtime_toggles(tmp_path):
+    """The four layer toggles are evaluated per rendered frame (reference
+    viewer.cpp:43-56): flipping them at runtime changes the next render,
+    and the window-mode key handler flips them too."""
+    import os
+
+    from tpuslam.core.slam import Slam
+    from tpuslam.runtime.config import SlamConfig
+    from tpuslam.sim import SimConfig, simulate, skidpad
+    from tpuslam.viz.live import LiveViewer
+
+    scen = simulate(skidpad(), SimConfig(laps=1.1, seed=2))
+    slam = Slam(SlamConfig())
+    slam.run_scenario(scen)
+    png = str(tmp_path / "t.png")
+    viewer = LiveViewer(lambda: slam.state, png_path=png,
+                        interval_s=10.0)
+    assert viewer.render_once()
+    full = os.path.getsize(png)
+    viewer.set_toggles(show_cones=False, show_poses=False,
+                       show_current_pose=False, show_graph=False)
+    assert viewer.render_once()
+    empty = os.path.getsize(png)
+    assert empty != full  # layers actually dropped out of the render
+
+    class _Ev:
+        key = "c"
+    viewer._on_key(_Ev())
+    assert viewer.show_cones is True   # toggled back on
+    _Ev.key = "g"
+    viewer._on_key(_Ev())
+    assert viewer.show_graph is True   # toggled back on
+    viewer.stop()
+
+
+def test_live_viewer_stop_renders_final_frame(tmp_path):
+    """stop() flushes a final frame so short runs still leave the last
+    state on disk (the flake fixed here: replay finishing inside one render
+    interval left no PNG)."""
+    import os
+
+    from tpuslam.core.slam import Slam
+    from tpuslam.runtime.config import SlamConfig
+    from tpuslam.sim import SimConfig, simulate, skidpad
+    from tpuslam.viz.live import LiveViewer
+
+    scen = simulate(skidpad(), SimConfig(laps=1.1, seed=2))
+    slam = Slam(SlamConfig())
+    slam.run_scenario(scen)
+    png = str(tmp_path / "final.png")
+    viewer = LiveViewer(lambda: slam.state, png_path=png,
+                        interval_s=3600.0)   # never fires on its own
+    viewer.start()
+    viewer.stop()
+    assert os.path.exists(png)

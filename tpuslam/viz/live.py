@@ -7,8 +7,14 @@ pose / graph edges every frame, with menu checkboxes toggling each layer
 viewer.cpp:43-60). Here the same loop is a daemon thread that pulls a state
 snapshot from a callback and re-renders with matplotlib — to an interactive
 window when a display is available, or to a continuously-refreshed PNG in
-headless deployments (point a browser/image viewer at it). The four layer
-toggles match the Pangolin menu one-to-one.
+headless deployments (point a browser/image viewer at it).
+
+The four layer toggles match the Pangolin menu one-to-one and, like the
+reference's checkboxes, are evaluated EVERY render frame (reference
+viewer.cpp:43-56): flip them at runtime via `set_toggles(...)` (or attribute
+assignment) and the next frame reflects it. In window mode the keys
+c/p/o/g toggle cones / poses / current pose / graph interactively — the
+keyboard stands in for the Pangolin menu panel.
 """
 from __future__ import annotations
 
@@ -60,10 +66,42 @@ class LiveViewer:
         self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout)
+        # final frame: the last state always lands on disk even when the
+        # run finished faster than one render interval
+        if self.png_path:
+            try:
+                self.render_once()
+            except Exception:
+                pass
         if self._fig is not None:
             import matplotlib.pyplot as plt
             plt.close(self._fig)
             self._fig = None
+
+    def set_toggles(self, show_cones=None, show_poses=None,
+                    show_current_pose=None, show_graph=None):
+        """Runtime layer toggles — the Pangolin menu checkboxes
+        (reference viewer.cpp:43-56): evaluated on the NEXT rendered frame.
+        Plain attribute stores (GIL-atomic), safe from any thread."""
+        if show_cones is not None:
+            self.show_cones = bool(show_cones)
+        if show_poses is not None:
+            self.show_poses = bool(show_poses)
+        if show_current_pose is not None:
+            self.show_current_pose = bool(show_current_pose)
+        if show_graph is not None:
+            self.show_graph = bool(show_graph)
+
+    def _on_key(self, event):
+        key = getattr(event, "key", None)
+        if key == "c":
+            self.show_cones = not self.show_cones
+        elif key == "p":
+            self.show_poses = not self.show_poses
+        elif key == "o":
+            self.show_current_pose = not self.show_current_pose
+        elif key == "g":
+            self.show_graph = not self.show_graph
 
     def __enter__(self):
         return self.start()
@@ -85,6 +123,7 @@ class LiveViewer:
             self._fig, self._ax = plt.subplots(figsize=(8, 8))
             if self.window:
                 plt.ion()
+                self._fig.canvas.mpl_connect("key_press_event", self._on_key)
                 self._fig.show()
         self._ax.clear()
         plot_state(state, ax=self._ax, show_cones=self.show_cones,
