@@ -408,3 +408,30 @@ def test_decode_point_cloud_reading_with_calibration():
     # same vertical angle set; rows may permute if firing order differed,
     # but this calibration lists lasers in firing order -> identical
     np.testing.assert_allclose(pts_const, pts_calib, atol=1e-9)
+
+
+@pytest.mark.parametrize("provider", ["dense", "grid"])
+def test_long_wall_rejected_at_default_label_iterations(provider):
+    """A long barrier (chain diameter ~30 cells) must stay ONE oversized
+    component — the label-iteration default must converge on worst-case
+    chains, not just cone-sized blobs (regression for the r3 iteration-count
+    reduction; pointer jumping carries the reach in both providers)."""
+    rng = np.random.default_rng(1)
+    wall_x = rng.uniform(0.5, 11.5, 900)
+    wall = np.stack([wall_x,
+                     np.full_like(wall_x, 2.0) + rng.normal(0, 0.03, 900),
+                     rng.uniform(0, 0.4, 900)], axis=1)
+    ground = np.stack([rng.uniform(0.5, 11, 1500),
+                       rng.uniform(-3.5, 3.5, 1500),
+                       rng.normal(0, 0.01, 1500)], axis=1)
+    pts = np.vstack([ground, wall])
+    pts[:, 2] -= 0.9
+    cap = 8192
+    p = np.zeros((cap, 3), np.float32)
+    p[:len(pts)] = pts
+    v = np.arange(cap) < len(pts)
+    acfg = AttentionConfig(sensor_height=0.9, ground_layer_z=-0.9,
+                           inlier_found_threshold=300, min_points=3,
+                           clustering=provider)
+    _out, _ok, n = detect_cones(jnp.asarray(p), jnp.asarray(v), acfg)
+    assert int(n) == 0
