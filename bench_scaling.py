@@ -68,6 +68,13 @@ def main():
     ap.add_argument("--out", default=None,
                     help="also write the results JSON to this file (the "
                          "per-round SCALING_r{N}.json artifact)")
+    ap.add_argument("--t1-comp-s", type=float, default=None,
+                    help="REAL-chip single-device compute time (s) for the "
+                         "P=512 chain GN (4 iters) to drive the comm "
+                         "model's absolute predictions; measure it by "
+                         "running this script with --platform tpu on the "
+                         "chip (reported as chain_t1_comp_s) and feed it "
+                         "back here on the virtual-mesh run")
     args = ap.parse_args()
     import jax
     if args.platform:
@@ -192,13 +199,23 @@ def main():
         "efficiency": round(tf_1 / tf_n, 3),
     }
 
+    if n_dev == 1:
+        from scripts.bench_chain_solvers import synth
+        gch1 = synth(512, 512)
+        ccfg1 = gn.GNConfig(iterations=4)
+        results["chain_t1_comp_s"] = round(
+            timeit(lambda: gn.optimize(gch1, ccfg1), reps=3), 5)
+
     # --- chain (sequence) parallelism: the pose chain split over devices,
     # replicated reduced solve vs the distributed domain-decomposition
     # solve (parallel/chain.py) — the DD speedup is the headline here
     if n_dev > 1:
         from scripts.bench_chain_solvers import synth
-        from tpuslam.parallel import chain_optimize, make_chain_mesh
+        from tpuslam.parallel import (chain_optimize,
+                                      chain_optimize_resident,
+                                      make_chain_mesh)
         from tpuslam.parallel.chain import partition_chain
+        from tpuslam.parallel.resident import partition_chain_resident
         n_chain = 512
         gch = synth(n_chain, n_chain)
         mesh_ch = make_chain_mesh(n_dev)
@@ -208,11 +225,72 @@ def main():
                                               solver="replicated"), reps=3)
         t_dd = timeit(lambda: chain_optimize(gch, ccfg, mesh_ch,
                                              solver="dd", plan=plan), reps=3)
+        rplan = partition_chain_resident(gch, n_dev)
+        t_res = timeit(lambda: chain_optimize_resident(gch, ccfg, mesh_ch,
+                                                       plan=rplan), reps=3)
         results["chain_dd_solve"] = {
             "poses": n_chain, "landmarks": n_chain,
             "shared_landmarks": plan.n_shared,
             "t_replicated_s": round(t_rep, 4), "t_dd_s": round(t_dd, 4),
+            "t_dd_resident_s": round(t_res, 4),
             "dd_speedup": round(t_rep / t_dd, 2),
+            "resident_per_device_landmark_slots":
+                rplan.lb + rplan.shared_cap,
+        }
+
+        # --- analytic comm model (VERDICT r2 next #8): per-iteration
+        # collective payloads are static functions of the graph shape;
+        # the model's RELATIVE prediction (replicated vs DD) is checked
+        # against the measured wall-clock ratio on this mesh, and absolute
+        # efficiencies are predicted for real 8/32/256-chip slices with the
+        # ICI assumptions stated.
+        from tpuslam.parallel.comm_model import (CommModel,
+                                                 predict_efficiency,
+                                                 tier_bytes_per_iteration)
+        sc = rplan.shared_cap
+        vols = {t: tier_bytes_per_iteration(
+                    t, P=n_chain, L=n_chain, D=n_dev, shared_cap=sc)
+                for t in ("distributed", "chain_replicated", "chain_dd",
+                          "chain_dd_resident")}
+        vols["fusion_dedup"] = tier_bytes_per_iteration(
+            "fusion_dedup", P=0, L=0, D=n_dev, SL=8 * 256)
+        mdl = CommModel()
+        # single-device compute time for the chain solve: prefer the
+        # real-chip number (--t1-comp-s), else this mesh's (labeled)
+        t1_comp = args.t1_comp_s or timeit(
+            lambda: gn.optimize(gch, ccfg), reps=3)
+        pred = {}
+        for tier in ("chain_replicated", "chain_dd", "chain_dd_resident"):
+            pred[tier] = {
+                f"D={d}": round(predict_efficiency(
+                    tier, t1_comp, d, P=n_chain, L=n_chain, shared_cap=sc,
+                    iterations=ccfg.iterations, model=mdl), 3)
+                for d in (8, 32, 256)}
+        ratio_measured = t_rep / t_dd
+        bytes_rep = (vols["chain_replicated"]["payload_psum"]
+                     + vols["chain_replicated"]["payload_gather"])
+        bytes_dd = (vols["chain_dd"]["payload_psum"]
+                    + vols["chain_dd"]["payload_gather"])
+        results["comm_model"] = {
+            "assumptions": {"ici_bw_gbytes_per_s":
+                            mdl.ici_bw_bytes_per_s / 1e9,
+                            "collective_latency_us":
+                            mdl.collective_latency_s * 1e6},
+            "t1_comp_s": round(t1_comp, 5),
+            "t1_comp_source": ("real chip (--t1-comp-s)" if args.t1_comp_s
+                               else f"this {mesh_kind} mesh"),
+            "bytes_per_iteration": vols,
+            "predicted_efficiency": pred,
+            "relative_validation": {
+                "replicated_vs_dd_bytes_ratio":
+                    round(bytes_rep / max(bytes_dd, 1), 1),
+                "replicated_vs_dd_measured_time_ratio":
+                    round(ratio_measured, 1),
+                "note": ("byte ratio and measured ratio must agree in "
+                         "direction and order of magnitude; the measured "
+                         "ratio also folds the removed O((3P)^3) redundant "
+                         "factorization, so it may exceed the byte ratio"),
+            },
         }
 
     print(json.dumps(results))

@@ -1,0 +1,106 @@
+"""Analytic communication accounting + scaling model for the parallel tiers.
+
+Real multi-chip hardware is not reachable from this environment, and the
+8-virtual-devices-on-2-cores CPU mesh cannot exhibit real scaling (its
+wall-clocks validate the collective paths, not their efficiency —
+SCALING_r02 said so honestly). What CAN be stated rigorously is the
+per-iteration communication volume of every tier — each collective's payload
+is a static function of the graph shape — and a first-order time model on
+top of it:
+
+    t(D) = t_comp(1)/D + beta * bytes_on_wire(D) + alpha * n_collectives(D)
+
+with bytes_on_wire the ring-allreduce cost 2*(D-1)/D * payload for psums,
+(D-1)/D * gathered for all_gathers, and (alpha, beta) the per-collective
+latency and inverse ICI bandwidth. Defaults model one v5e chip
+(~186 GB/s usable ICI per chip across its 4 links at 400 Gbps/link, ~1 us
+per collective hop) — both are stated inputs, not measurements, and the
+model's *relative* predictions (replicated vs DD vs resident) are validated
+against measured wall-clock ratios on the virtual mesh in bench_scaling.py.
+
+Volumes are derived from the shard_map programs themselves:
+
+- `distributed_gn_step` (edge-sharded Schur, parallel/distributed.py):
+  psums the FULL assembled system per iteration — h_diag [P,3,3] + h_off
+  [P,3,3] + W halves 2x[3P, L] + Hll [L,2,2] + gp [P,3] + gl [L,2].
+- `chain_gn_step` (replicated reduced solve, parallel/chain.py): psum Hll+gl
+  (O(L)) + all_gather of W rows [3P, 2L], Hpp rows, gp, poses.
+- `chain_gn_step_dd`: psum Hll+gl (O(L)), the [m, m] interface, and the dl
+  update (O(L)); m = 3D + 3 + 2*shared_cap.
+- `chain_gn_step_dd_resident` (parallel/resident.py): interface [m, m] +
+  shared-row Hll/gl [shared_cap] only — nothing O(L) (the point).
+- fusion sharded dedup (parallel/fusion.py): all_gather of the [S*L] label
+  vector per label iteration.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+__all__ = ["CommModel", "tier_bytes_per_iteration", "predict_times",
+           "predict_efficiency"]
+
+F32 = 4
+
+
+def tier_bytes_per_iteration(tier: str, *, P: int, L: int, D: int,
+                             shared_cap: int = 64, SL: int | None = None,
+                             dedup_iters: int = 8) -> dict:
+    """Per-GN-iteration collective payloads (bytes, f32) and counts for a
+    tier, as a dict {payload_psum, payload_gather, n_collectives}."""
+    if tier == "distributed":          # edge-sharded Schur
+        payload = (P * 9 + P * 9 + 2 * (3 * P) * L + L * 4 + P * 3
+                   + L * 2) * F32
+        return dict(payload_psum=payload, payload_gather=0, n_collectives=1)
+    if tier == "chain_replicated":
+        b = P // D
+        gathered = ((3 * b) * 2 * L + 9 * b * 2 + 3 * b + 3 * b) * F32 * D
+        return dict(payload_psum=(L * 4 + L * 2) * F32,
+                    payload_gather=gathered, n_collectives=6)
+    if tier == "chain_dd":
+        m = 3 * D + 3 + 2 * shared_cap
+        return dict(payload_psum=(L * 6 + m * m + m + L * 2) * F32,
+                    payload_gather=D * F32, n_collectives=4)
+    if tier == "chain_dd_resident":
+        m = 3 * D + 3 + 2 * shared_cap
+        return dict(payload_psum=(shared_cap * 6 + m * m + m) * F32,
+                    payload_gather=D * F32, n_collectives=3)
+    if tier == "fusion_dedup":
+        assert SL is not None
+        return dict(payload_psum=0, payload_gather=SL * F32 * dedup_iters,
+                    n_collectives=dedup_iters)
+    raise ValueError(f"unknown tier {tier}")
+
+
+@dataclass(frozen=True)
+class CommModel:
+    ici_bw_bytes_per_s: float = 186e9   # one v5e chip's usable ICI
+    collective_latency_s: float = 1e-6  # per collective launch/hop
+
+
+def predict_times(tier: str, t_comp_1dev_s: float, D: int, *, P: int, L: int,
+                  shared_cap: int = 64, model: CommModel = CommModel(),
+                  iterations: int = 1, SL: int | None = None) -> dict:
+    """First-order t(D) = t_comp/D + comm; returns seconds + breakdown."""
+    v = tier_bytes_per_iteration(tier, P=P, L=L, D=D,
+                                 shared_cap=shared_cap, SL=SL)
+    ring = 2.0 * (D - 1) / D
+    gath = (D - 1) / D
+    t_comm = iterations * (
+        (ring * v["payload_psum"] + gath * v["payload_gather"])
+        / model.ici_bw_bytes_per_s
+        + v["n_collectives"] * model.collective_latency_s * D ** 0.5)
+    t_comp = t_comp_1dev_s / D
+    return dict(t_total_s=t_comp + t_comm, t_comp_s=t_comp,
+                t_comm_s=t_comm, bytes_psum=v["payload_psum"],
+                bytes_gather=v["payload_gather"])
+
+
+def predict_efficiency(tier: str, t_comp_1dev_s: float, D: int, *, P: int,
+                       L: int, shared_cap: int = 64,
+                       model: CommModel = CommModel(),
+                       iterations: int = 1) -> float:
+    """Parallel efficiency t(1)/(D * t(D)) under the model."""
+    t_d = predict_times(tier, t_comp_1dev_s, D, P=P, L=L,
+                        shared_cap=shared_cap, model=model,
+                        iterations=iterations)["t_total_s"]
+    return t_comp_1dev_s / (D * t_d)
