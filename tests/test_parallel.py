@@ -454,3 +454,38 @@ def test_resident_dd_matches_replicated_dd():
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(a.lm_xy), np.asarray(b.lm_xy),
                                atol=1e-4)
+
+
+def test_batched_sessions_improved_windowed_gn():
+    """The vmapped multi-session path with the IMPROVED config: the
+    fixed-lag periodic GN runs inline under vmap (it is straight-line, no
+    cond/switch), and per-session results match sequential run_sequence."""
+    import jax.numpy as jnp
+    from tpuslam.backend.graph import GraphCapacity
+    from tpuslam.frontend.pipeline import run_sequence
+    from tpuslam.frontend.state import initial_state
+    from tpuslam.parallel.batch import initial_states, run_sequences_batched
+    from tpuslam.runtime.config import SlamConfig
+    from tpuslam.sim import SimConfig, simulate, skidpad
+
+    cap = GraphCapacity(max_poses=64, max_landmarks=128, max_obs=2048)
+    cfg = SlamConfig.improved(capacity=cap)
+    assert cfg.periodic_gn_window > 0
+    scens = [simulate(skidpad(), SimConfig(laps=1.1, keyframe_dt=0.25,
+                                           seed=s)) for s in (1, 2)]
+    t = min(len(sc.times) for sc in scens)
+    obs = jnp.stack([jnp.asarray(sc.obs[:t], jnp.float32) for sc in scens])
+    valid = jnp.stack([jnp.asarray(sc.obs_valid[:t]) for sc in scens])
+    poses = jnp.stack([jnp.asarray(sc.odom_poses[:t], jnp.float32)
+                       for sc in scens])
+
+    fin, outs = run_sequences_batched(initial_states(cap, 2), obs, valid,
+                                      poses, cfg)
+    for s in range(2):
+        st, out1 = run_sequence(initial_state(cap), obs[s], valid[s],
+                                poses[s], cfg)
+        np.testing.assert_allclose(np.asarray(out1.pose),
+                                   np.asarray(outs.pose[s]), atol=2e-5)
+        assert bool(st.loop_closure_complete) == \
+            bool(fin.loop_closure_complete[s])
+        assert int(st.graph.n_landmarks) == int(fin.graph.n_landmarks[s])
