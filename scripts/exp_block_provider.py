@@ -71,6 +71,33 @@ def main():
             cfgn.with_(use_pallas_association=True), cap, obs, valid, poses,
             16, t_frames)
 
+    # batched: does a smaller block (quadratically smaller [S, BN, BN]
+    # working set) win at large S where the sweep declined?
+    from tpuslam.parallel.batch import initial_states
+    cap_b = GraphCapacity(max_poses=384, max_landmarks=256, max_obs=4096)
+    cfg_b = SlamConfig(capacity=cap_b)
+    t_b = t_frames - (t_frames % 16)
+    for s_n, blk in ((64, 16), (64, 8), (256, 16), (256, 8)):
+        o = jnp.tile(obs[None, :t_b], (s_n, 1, 1, 1))
+        v = jnp.tile(valid[None, :t_b], (s_n, 1, 1))
+        p = jnp.tile(poses[None, :t_b], (s_n, 1, 1))
+
+        def multi(k, o=o, v=v, p=p, s_n=s_n, blk=blk):
+            @jax.jit
+            def run():
+                def one(_, __):
+                    sts = initial_states(cap_b, s_n)
+                    sts, _o2, done = BL.blocked_core_batched.__wrapped__(
+                        sts, o, v, p, cfg_b, blk)
+                    return (), sts.graph.n_poses[0] + jnp.min(done)
+                _, ys = jax.lax.scan(one, (), None, length=k)
+                return ys
+            return run
+
+        sec = timed_slope(multi, 1, 3, reps=2)
+        print(f"batched S={s_n:3d} B={blk:2d}: {s_n * t_b / sec:10.1f} f/s"
+              f"  ({sec*1e3:.1f} ms/pass)", flush=True)
+
     # pod-scale map: landmark capacity 4096 (the dense [BN, L] matrix is
     # 512 x 4096 per block here)
     cap_big = GraphCapacity(max_poses=1 << (t_frames - 1).bit_length(),
