@@ -111,7 +111,7 @@ def main():
     # vs the per-frame run_sequence (tests/test_blocked_equivalence.py)
     from tpuslam.frontend.blocked import run_sequence_blocked
     state = initial_state(cap)
-    state, outs = run_sequence_blocked(state, obs, valid, poses, cfg, block=16)
+    state, outs = run_sequence_blocked(state, obs, valid, poses, cfg, block=32)
     jax.block_until_ready(state.graph.poses)
     closed = bool(state.loop_closure_complete)
     est = np.asarray(outs.pose)
@@ -151,7 +151,9 @@ def main():
     from tpuslam.frontend import blocked as BL
     from tpuslam.frontend.state import initial_state as init_state
 
-    obs_p, valid_p, pose_p, _ = BL._pad_inputs(obs, valid, poses, cfg, 16)
+    # block=32 is the measured single-session sweet spot on v5e (B=8/16/
+    # 32/64 -> 29k/120k/194k/168k f/s, scripts/exp_block_provider.py)
+    obs_p, valid_p, pose_p, _ = BL._pad_inputs(obs, valid, poses, cfg, 32)
 
     def multi_pass(k):
         @jax.jit
@@ -159,7 +161,7 @@ def main():
             def one(_, __):
                 st = init_state(cap)
                 st, _outs, done = BL.blocked_core.__wrapped__(
-                    st, obs_p, valid_p, pose_p, cfg, 16)
+                    st, obs_p, valid_p, pose_p, cfg, 32)
                 return (), st.graph.n_poses + done
             _, ys = jax.lax.scan(one, (), None, length=k)
             return ys
@@ -228,7 +230,7 @@ def main():
                              for sc in scens_b])
         poses_b = jnp.stack([jnp.asarray(sc.odom_poses[:t_b], jnp.float32)
                              for sc in scens_b])
-        pad_b = (-t_b) % 16
+        pad_b = (-t_b) % 32
         if pad_b:
             far = jnp.full((n_sess, pad_b, 3),
                            2.0 * cfg_b.gps_outlier_bound + 1.0, jnp.float32)
@@ -252,7 +254,7 @@ def main():
                     def one(_, __):
                         sts = initial_states(cap_b, s)
                         sts, _o2, done = BL.blocked_core_batched.__wrapped__(
-                            sts, o, v, p, cfg_b, 16)
+                            sts, o, v, p, cfg_b, 32)
                         return (), sts.graph.n_poses[0] + jnp.min(done)
                     _, ys = jax.lax.scan(one, (), None, length=k)
                     return ys
@@ -327,15 +329,16 @@ def main():
             hi = sweep[-1]
             if "hbm_util_pct" in lo and "hbm_util_pct" in hi:
                 out["knee_limiter"] = (
-                    f"bandwidth/working-set: the pass moves "
+                    f"bandwidth-bound with locality falloff: "
                     f"{lo.get('bytes_per_session_gb', 0)} GB/session at "
-                    f"S={lo['sessions']} vs "
-                    f"{hi.get('bytes_per_session_gb', 0)} GB/session at "
-                    f"S={hi['sessions']} (HBM util "
-                    f"{lo['hbm_util_pct']}% -> {hi['hbm_util_pct']}%); the "
-                    "arithmetic intensity (~15 flop/byte vs the chip's "
-                    "~240 ridge) makes the bandwidth roof the relevant "
-                    "ceiling, not MFU — see ARCHITECTURE.md §9")
+                    f"S={lo['sessions']} ({lo['hbm_util_pct']}% HBM util) "
+                    f"vs {hi.get('bytes_per_session_gb', 0)} GB/session at "
+                    f"S={hi['sessions']} ({hi['hbm_util_pct']}% util) — "
+                    "bytes/session do not grow with S, the ACHIEVED "
+                    "bandwidth drops (larger batched tensors stride worse);"
+                    " arithmetic intensity ~15 flop/byte vs the chip's "
+                    "~240 ridge makes the bandwidth roof the ceiling, not "
+                    "MFU — see ARCHITECTURE.md §9")
         except Exception as e:  # noqa: BLE001
             out["error_knee_attribution"] = repr(e)[:160]
         return out
@@ -392,8 +395,11 @@ def main():
                             fix_first_landmarks=0, solve_bucket_step=0,
                             edge_bucket_step=0)
         gate_f = cfg_f.same_cone_threshold
+        # align=False: these sessions share one GPS frame (absolute priors);
+        # ICP on the repetitive cone ring only adds a spurious rigid move
+        # (measured 0.029 m aligned vs 0.012 m unaligned fused map error)
         fused, rep = fusion.fuse_sessions(stacked, cfg=fcfg, gate=gate_f,
-                                          lm_info=lm_info_f)
+                                          lm_info=lm_info_f, align=False)
         jax.block_until_ready(fused.poses)
         lmf = np.asarray(fused.lm_xy)[:int(fused.n_landmarks)]
         map_err = float(np.median(np.linalg.norm(
@@ -410,7 +416,8 @@ def main():
                         stacked, poses=stacked.poses.at[0, 0, 0].add(c))
                     f2, _r = fusion.fuse_sessions(st2, cfg=fcfg,
                                                   gate=gate_f,
-                                                  lm_info=lm_info_f)
+                                                  lm_info=lm_info_f,
+                                                  align=False)
                     return f2.poses[0, 0] * 1e-12, f2.poses[0, 0]
                 _, ys = jax.lax.scan(one, jnp.float32(0), None, length=k)
                 return ys
@@ -433,7 +440,7 @@ def main():
     def improved_fast_section():
         cfg_if = SlamConfig.improved(capacity=cap, periodic_gn_every=0)
         st_if, outs_if = run_sequence_blocked(initial_state(cap), obs, valid,
-                                              poses, cfg_if, block=16)
+                                              poses, cfg_if, block=32)
         jax.block_until_ready(st_if.graph.poses)
         ate_if = ate(np.asarray(outs_if.pose)[:, :2],
                      scen.gt_poses[:t_frames, :2])
@@ -444,7 +451,7 @@ def main():
                 def one(_, __):
                     st = init_state(cap)
                     st, _o, done = BL.blocked_core.__wrapped__(
-                        st, obs_p, valid_p, pose_p, cfg_if, 16)
+                        st, obs_p, valid_p, pose_p, cfg_if, 32)
                     return (), st.graph.n_poses + done
                 _, ys = jax.lax.scan(one, (), None, length=k)
                 return ys

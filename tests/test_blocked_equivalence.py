@@ -61,7 +61,7 @@ def _assert_state_equal(s1, s2, what):
 
 
 @pytest.mark.parametrize("association", ["first", "nearest"])
-@pytest.mark.parametrize("block", [4, 8])
+@pytest.mark.parametrize("block", [4, 8, 32])
 def test_blocked_matches_run_sequence(association, block):
     obs, valid, poses, cap = _scenario(trackdrive, seed=11)
     cfg = SlamConfig(capacity=cap, association=association)

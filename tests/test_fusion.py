@@ -273,9 +273,11 @@ def test_fused_full_lap_beats_best_session():
     gncfg = gn.GNConfig(odo_info=cfg.odo_info, lm_info=cfg.lm_info,
                         iterations=5, fix_first_poses=0,
                         fix_first_landmarks=0)
+    # GPS-anchored sessions share the frame: fuse without ICP (see
+    # fuse_sessions docstring)
     fused, report = fusion.fuse_sessions(stacked, cfg=gncfg,
                                          gate=cfg.same_cone_threshold,
-                                         lm_info=lm_info)
+                                         lm_info=lm_info, align=False)
     err_fused = _map_err(fused.lm_xy, fused.n_landmarks, track_xy)
     errs = [_map_err(st.graph.lm_xy, st.graph.n_landmarks, track_xy)
             for st in states]

@@ -408,6 +408,14 @@ def fuse_sessions(stacked: FactorGraph, cfg: gn.GNConfig | None = None,
     per-landmark information, e.g. the sessions' SlamState.lm_info_xy):
     merged positions are information-weighted (see fuse_graphs).
     Returns (fused graph, report dict).
+
+    `align` is for sessions that do NOT share an absolute frame (differing
+    GPS references, dead-reckoned runs). Sessions anchored by GPS priors in
+    one reference frame should pass align=False: point-set ICP on a
+    repetitive cone layout can only add a spurious rigid move on top of an
+    already-correct registration — measured on 8 improved-mode laps, the
+    fused map error is 0.012 m unaligned vs 0.029 m with ICP (bench.py
+    fusion section).
     """
     if align:
         stacked, tforms, n_matched = align_to_anchor(stacked, gate,
