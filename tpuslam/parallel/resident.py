@@ -25,6 +25,20 @@ module removes that wall for the chain solver:
 - Per-device landmark memory: O(L / n_dev + shared_cap). Adding devices now
   adds map capacity — the actual "map blocks" scaling law (SURVEY.md §2.4).
 
+Why owner-aligned 1D sharding instead of an independent ('chain' x 'map')
+2D mesh: covisibility is local along the trajectory, so a landmark's edges
+live in one (rarely two) pose blocks — sharding the landmark axis by OWNER
+makes every edge's landmark lookup device-local by construction. An
+independent 'map' axis would place most landmarks away from the block that
+observes them, turning every assembly gather into cross-device traffic
+(all_gather of O(E) landmark rows per iteration) to save nothing: the
+owner-aligned layout already achieves per-device O(L/D) residency with
+only the boundary-shared set replicated. A 2D mesh earns its keep when a
+single pose block's OWN landmarks outgrow one device — at ~100 bytes per
+landmark that is a >10^8-landmark block, far beyond this problem class;
+the session axis (fleet/multisession tiers) is the productive second mesh
+dimension instead.
+
 Numerics: same elimination order as the DD solve (local landmarks -> block
 interior -> interface), so results match `chain_gn_step_dd` to f32
 reduction-order tolerance and the single-device `gn_step` likewise
