@@ -395,7 +395,7 @@ def main():
         fcfg = gnb.GNConfig(odo_info=cfg_f.odo_info, lm_info=cfg_f.lm_info,
                             iterations=10, fix_first_poses=0,
                             fix_first_landmarks=0, solve_bucket_step=0,
-                            edge_bucket_step=0)
+                            edge_bucket_step=0, early_exit_tol=1e-4)
         gate_f = cfg_f.same_cone_threshold
         # align=False: these sessions share one GPS frame (absolute priors);
         # ICP on the repetitive cone ring only adds a spurious rigid move
