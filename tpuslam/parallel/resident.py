@@ -149,20 +149,15 @@ def partition_chain_resident(g: FactorGraph, n_shards: int,
     # partition_edges_by_pose_block: block dev occupies [dev*eb, dev*eb+cnt))
     eb = cap.max_obs // d
     new_ol = np.zeros(cap.max_obs, np.int32)
-    op2 = np.asarray(g2.obs_pose)
     ol2 = np.asarray(g2.obs_lm)
     for dev in range(d):
-        base = dev * eb
-        cnt = int(counts[dev])
-        for e in range(base, base + cnt):
-            gl_ = int(ol2[e])
-            if shared_rank[gl_] >= 0:
-                new_ol[e] = lb + shared_rank[gl_]
-            elif local_slot[gl_] >= 0:
-                assert min_o[gl_] == dev, (gl_, min_o[gl_], dev)
-                new_ol[e] = local_slot[gl_]
-            else:   # edge to a landmark with no classification: impossible
-                raise AssertionError(f"unclassified landmark {gl_}")
+        sl = slice(dev * eb, dev * eb + int(counts[dev]))
+        gl_ = ol2[sl]
+        is_sh = shared_rank[gl_] >= 0
+        # every non-shared edge landmark is local to ITS OWN block
+        assert np.all(is_sh | ((local_slot[gl_] >= 0) & (min_o[gl_] == dev)))
+        new_ol[sl] = np.where(is_sh, lb + shared_rank[gl_],
+                              local_slot[gl_]).astype(np.int32)
     g2 = dataclasses.replace(g2, obs_lm=jnp.asarray(new_ol))
     return ResidentChainPlan(
         graph=g2, edge_counts=counts,
