@@ -283,3 +283,31 @@ def test_live_viewer_stop_renders_final_frame(tmp_path):
     viewer.start()
     viewer.stop()
     assert os.path.exists(png)
+
+
+def test_cli_fuse_with_info_weights(tmp_path):
+    """`slamctl fuse` end to end: mahalanobis sessions fuse with the
+    information-weighted merge (lm_info wired through the CLI), --no-align
+    for same-frame sessions, checkpoint out."""
+    import json
+
+    from tpuslam.cli.main import main as cli_main
+
+    out = str(tmp_path / "fused.npz")
+    import contextlib
+    import io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli_main(["--platform", "cpu", "fuse", "--sessions", "2",
+                       "--laps", "1.1", "--improved", "--association",
+                       "mahalanobis", "--no-align", "--out", out])
+    assert rc in (0, None)
+    res = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert res["sessions"] == 2
+    assert res["cross_session_merges"] > 0
+    # fused map collapses toward one session's landmark count and sits
+    # within centimeters of the track
+    assert res["fused_landmarks"] < sum(res["landmarks_per_session"]) * 0.6
+    assert res["map_error_m"] < 0.1
+    import os
+    assert os.path.exists(out)

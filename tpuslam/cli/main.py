@@ -248,10 +248,15 @@ def cmd_fuse(args):
 
     cfg = _config_from_args(args)
     gt_track = None
+    lm_info = None
     if args.checkpoints:
         from tpuslam.runtime.checkpoint import load_checkpoint
         states = [load_checkpoint(p)[0] for p in args.checkpoints]
         graphs = [s.graph for s in states]
+        # information-weighted merge when the sessions accumulated
+        # per-landmark information (mahalanobis mode); all-zero rows fall
+        # back to obs-count weights inside fuse_graphs
+        lm_info = jnp.stack([s.lm_info_xy for s in states])
         caps = {g.capacity for g in graphs}
         if len(caps) != 1:
             print(f"[slamctl] checkpoint capacities differ: {caps}",
@@ -270,6 +275,7 @@ def cmd_fuse(args):
         cap = GraphCapacity(max_poses=512, max_landmarks=256, max_obs=8192)
         cfg = cfg.with_(capacity=cap)
         graphs = []
+        infos = []
         for s in range(args.sessions):
             scen = simulate(track, SimConfig(laps=args.laps, keyframe_dt=0.25,
                                              seed=args.seed + 1 + s))
@@ -279,6 +285,8 @@ def cmd_fuse(args):
                                  jnp.asarray(scen.odom_poses, jnp.float32),
                                  cfg)
             graphs.append(st.graph)
+            infos.append(st.lm_info_xy)
+        lm_info = jnp.stack(infos)
 
     mesh = None
     if args.mesh_shards > 1:
@@ -298,7 +306,7 @@ def cmd_fuse(args):
     t0 = time.perf_counter()
     fused, report = fusion.fuse_sessions(
         stacked, cfg=gncfg, gate=cfg.same_cone_threshold, mesh=mesh,
-        align=not args.no_align)
+        align=not args.no_align, lm_info=lm_info)
     jax.block_until_ready(fused.poses)
     dt = time.perf_counter() - t0
 
