@@ -329,3 +329,45 @@ def test_fusion_with_drifted_sessions_recovers():
     err0 = _map_err(states[0].graph.lm_xy, states[0].graph.n_landmarks,
                     track_xy)
     assert err_fused < max(2.0 * err0, 0.15), (err_fused, err0)
+
+
+def test_fused_graph_resident_dd_joint_optimize():
+    """The pod-scale composition: S fused sessions jointly optimized by the
+    RESIDENT domain-decomposition chain solve (landmark shards live on
+    their owning device, nothing O(L) reduced) — matches the single-device
+    joint GN. This is BASELINE config 5's full flow with no replicated
+    landmark array inside shard_map."""
+    from tpuslam.parallel import chain_optimize_resident
+    from tpuslam.parallel.mesh import make_chain_mesh
+    from tpuslam.parallel.resident import partition_chain_resident
+
+    cap = GraphCapacity(max_poses=128, max_landmarks=128, max_obs=2048)
+    cfg = SlamConfig.improved(capacity=cap, association="mahalanobis",
+                              periodic_gn_every=0)
+    states, scens = _improved_sessions(4, cap, cfg)
+    track_xy = scens[0].track.cones_xy
+    stacked = stack_graphs([st.graph for st in states])
+    lm_info = jnp.stack([st.lm_info_xy for st in states])
+    # merge only (no joint GN yet)
+    fused, _rep = fusion.fuse_sessions(stacked, cfg=None,
+                                       gate=cfg.same_cone_threshold,
+                                       lm_info=lm_info, align=False)
+    gncfg = gn.GNConfig(odo_info=cfg.odo_info, lm_info=cfg.lm_info,
+                        iterations=4, fix_first_poses=0,
+                        fix_first_landmarks=0)
+    mesh = make_chain_mesh(8)
+    plan = partition_chain_resident(fused, 8)
+    # the fused pose axis spans sessions; blocks need not align with
+    # session boundaries — severed odometry edges are just zero-weight rows
+    single = gn.optimize(fused, gncfg)
+    dist = chain_optimize_resident(fused, gncfg, mesh, plan=plan)
+    npo = int(fused.n_poses)
+    nl = int(fused.n_landmarks)
+    np.testing.assert_allclose(np.asarray(dist.poses)[:npo],
+                               np.asarray(single.poses)[:npo], atol=3e-3)
+    np.testing.assert_allclose(np.asarray(dist.lm_xy)[:nl],
+                               np.asarray(single.lm_xy)[:nl], atol=3e-3)
+    err = _map_err(dist.lm_xy, dist.n_landmarks, track_xy)
+    errs = [_map_err(st.graph.lm_xy, st.graph.n_landmarks, track_xy)
+            for st in states]
+    assert err <= min(errs) + 5e-3, (err, errs)
