@@ -77,6 +77,10 @@ def nominal_vlp16_db_xml(lasers: int = 64) -> str:
     out = [
         '<?xml version="1.0" encoding="UTF-8" standalone="yes" ?>',
         "<!DOCTYPE boost_serialization>",
+        "<!-- nominal VLP-16 calibration REGENERATED from datasheet "
+        "constants by tpuslam.perception.calib.nominal_vlp16_db_xml "
+        "(stock sensor values in the boost-serialization DB schema; "
+        "field-parity with the reference's shipped copy is tested) -->",
         '<boost_serialization signature="serialization::archive" '
         'version="4">',
         '<DB class_id="0" tracking_level="1" version="0" object_id="_0">',
