@@ -167,25 +167,41 @@ def main():
             return ys
         return run
 
-    def timed_slope(make_fn, k1, k2, reps=5):
-        # min over reps: the remote tunnel has multi-second congestion
-        # spikes; the best-of pair is the uncongested device time
+    def timed_slope_stats(make_fn, k1, k2, reps=5):
+        """Per-pass device time from the dispatch-size slope, with spread.
+
+        min over reps: the remote tunnel has multi-second congestion
+        spikes; the best-of pair is the uncongested device time. Returns
+        (slope_from_mins, per_rep_slopes) — the per-rep slopes carry the
+        run-to-run variance the min-based value hides (VERDICT r3 weak #6).
+        """
         f1, f2 = make_fn(k1), make_fn(k2)
         _ = int(f1()[0]); _ = int(f2()[0])      # warm/compile
         t1 = t2 = 1e9
+        slopes = []
         for _ in range(reps):
             t0 = time.perf_counter(); _ = int(f1()[0])
-            t1 = min(t1, time.perf_counter() - t0)
+            d1 = time.perf_counter() - t0
             t0 = time.perf_counter(); _ = int(f2()[0])
-            t2 = min(t2, time.perf_counter() - t0)
-        return (t2 - t1) / (k2 - k1)
+            d2 = time.perf_counter() - t0
+            t1, t2 = min(t1, d1), min(t2, d2)
+            slopes.append((d2 - d1) / (k2 - k1))
+        return (t2 - t1) / (k2 - k1), slopes
+
+    def timed_slope(make_fn, k1, k2, reps=5):
+        return timed_slope_stats(make_fn, k1, k2, reps)[0]
 
     _note("primary: blocked-pipeline throughput slope")
     # spread the dispatch sizes so the measured device-time delta (~28
     # laps, ~50 ms) dwarfs tunnel jitter (observed +-0.4 ms/lap at a 2-8
     # spread: 158k vs 194k f/s run-to-run)
-    sec_per_pass = timed_slope(multi_pass, 4, 32)
+    sec_per_pass, primary_slopes = timed_slope_stats(multi_pass, 4, 32)
     fps_tpu = t_frames / sec_per_pass
+    extras["primary_reps"] = len(primary_slopes)
+    extras["primary_fps_per_rep"] = [round(t_frames / s, 1)
+                                     for s in primary_slopes]
+    extras["primary_fps_min"] = round(t_frames / max(primary_slopes), 1)
+    extras["primary_fps_max"] = round(t_frames / min(primary_slopes), 1)
 
     # online latency: device time per keyframe of the LIVE path (the
     # per-frame run_sequence scan the service drives one keyframe at a
@@ -214,7 +230,9 @@ def main():
     # Pose capacity sized to the lap (384 >= t_frames) so the batched
     # full-capacity Schur/Cholesky tracks the real problem, not padding.
     n_sess = 16
-    sweep_sizes = (16, 32, 64, 128, 256)
+    # S < 16 brackets the knee from the left (VERDICT r3 weak #1: the r3
+    # sweep started AT the knee, so its position was asserted, not measured)
+    sweep_sizes = (2, 4, 8, 16, 32, 64, 128, 256)
 
     def batched_section():
         from tpuslam.parallel.batch import initial_states
@@ -248,10 +266,13 @@ def main():
             poses_b = jnp.concatenate([poses_b, far], 1)
 
         def make_runner(s):
-            reps = s // n_sess
-            o = jnp.tile(obs_b, (reps, 1, 1, 1))
-            v = jnp.tile(valid_b, (reps, 1, 1))
-            p = jnp.tile(poses_b, (reps, 1, 1))
+            if s <= n_sess:
+                o, v, p = obs_b[:s], valid_b[:s], poses_b[:s]
+            else:
+                reps = s // n_sess
+                o = jnp.tile(obs_b, (reps, 1, 1, 1))
+                v = jnp.tile(valid_b, (reps, 1, 1))
+                p = jnp.tile(poses_b, (reps, 1, 1))
 
             def multi_batched(k):
                 @jax.jit
@@ -300,7 +321,8 @@ def main():
                      "tpu v6e": (918e12, 1640e9)}
             pk = next((v for k, v in peaks.items() if k in kind),
                       (197e12, 819e9))
-            for s_pt in (sweep_sizes[0], sweep_sizes[-1]):
+            for s_pt in sorted({sweep_sizes[0], 16, s_knee,
+                                sweep_sizes[-1]}):
                 _note(f"cost analysis S={s_pt}")
                 one_pass = make_runner(s_pt)(1)
                 ca = one_pass.lower().compile().cost_analysis()
@@ -725,7 +747,7 @@ def main():
     # the reference service's own design bound: gatheringTimeMs busy-wait
     reference_design_bound_fps = 1000.0 / cfg.gathering_time_ms
 
-    print(json.dumps({
+    full = {
         "metric": "slam_keyframe_updates_per_sec_per_chip",
         "value": round(fps_tpu, 2),
         "unit": "frames/s",
@@ -740,7 +762,23 @@ def main():
         "frames": t_frames,
         "device": str(jax.devices()[0]),
         **extras,
-    }))
+    }
+    # full record to a file + stderr (the r3 artifact lost the primary
+    # metric because the one JSON line outgrew the driver's stdout-tail
+    # capture — VERDICT r3 weak #3); stdout gets ONE compact line with the
+    # primary fields FIRST, small enough to always survive the capture
+    with open("BENCH_full.json", "w") as f:
+        json.dump(full, f, indent=1)
+    print(json.dumps(full), file=sys.stderr, flush=True)
+    compact_keys = (
+        "metric", "value", "unit", "vs_baseline", "baseline_fps_cpu_golden",
+        "primary_fps_min", "primary_fps_max", "ate_m", "baseline_ate_m",
+        "loop_closed", "frames", "batched_knee_frames_per_sec_per_chip",
+        "knee_hbm_util_pct", "improved_frames_per_sec_per_chip",
+        "improved_frames_per_sec_per_chip_every8", "map_error_fused_m",
+        "device",
+    )
+    print(json.dumps({k: full[k] for k in compact_keys if k in full}))
 
 
 if __name__ == "__main__":

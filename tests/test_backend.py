@@ -321,6 +321,58 @@ def test_window_gn_free_map_mode():
                   - np.asarray(g.lm_xy)[2:len(lms)]).max() > 1e-6
 
 
+def test_window_gn_marginal_prior_restores():
+    """Free-map fixed-lag analytic oracle (ADVICE r3 medium): with every
+    pose clamped, the landmark system is decoupled and the converged
+    estimate must be the information-weighted mean of the marginalized
+    prior (n_out obs anchored at the entry estimate A) and the in-window
+    measurements (n_in obs implying position B):
+
+        x* = (n_out * A + n_in * B) / (n_out + n_in)
+
+    The pre-fix behavior (prior re-centered at the current estimate each
+    iteration, zero gradient) converges to B instead — the marginalized
+    information leaks entirely after a few iterations."""
+    n_poses, n_out, n_in = 12, 6, 3
+    A = np.array([3.0, -1.0], np.float32)         # entry estimate = prior mean
+    B = np.array([4.0, 0.5], np.float32)          # in-window implied position
+    rng = np.random.default_rng(7)
+    poses = rng.normal(0, 2.0, (n_poses, 3)).astype(np.float32)
+    g = G.empty_graph(CAP)
+    prev = None
+    for p in poses:
+        meas = np.zeros(3) if prev is None else np.asarray(se2.between(prev, p))
+        g = G.add_pose(g, jnp.asarray(p), jnp.asarray(meas, jnp.float32))
+        prev = p
+    g = G.add_landmark(g, jnp.asarray(A), jnp.int32(1))
+
+    def body_of(p, target):
+        c, s = np.cos(p[2]), np.sin(p[2])
+        d = target - p[:2]
+        return np.array([c * d[0] + s * d[1], -s * d[0] + c * d[1]],
+                        np.float32)
+
+    # n_out edges from early poses (any measurement — they scroll out of the
+    # edge window and only their COUNT feeds the marginal prior)
+    for e in range(n_out):
+        g = G.add_observation(g, jnp.int32(e % 4), jnp.int32(0),
+                              jnp.asarray(body_of(poses[e % 4], A)))
+    # n_in edges from in-window poses, each implying the landmark sits at B
+    W = 4
+    for e in range(n_in):
+        p_idx = n_poses - 1 - (e % W)
+        g = G.add_observation(g, jnp.int32(p_idx), jnp.int32(0),
+                              jnp.asarray(body_of(poses[p_idx], B)))
+    cfg = dataclasses.replace(CFG, iterations=10, fix_first_poses=n_poses,
+                              fix_first_landmarks=0)
+    out = gn.optimize_window(g, cfg, W, n_in)     # edge window = in-window obs
+    want = (n_out * A + n_in * B) / (n_out + n_in)
+    got = np.asarray(out.lm_xy)[0]
+    np.testing.assert_allclose(got, want, atol=1e-4)
+    # discriminates against the leak: the old fixpoint is B
+    assert np.linalg.norm(got - B) > 0.3
+
+
 def test_window_gn_gps_prior_anchoring():
     """With GPS priors and the window covering the whole (unclamped) chain,
     fixed-lag refinement pulls poses toward the priors."""

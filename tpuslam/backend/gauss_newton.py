@@ -468,7 +468,8 @@ def gn_step(g: FactorGraph, cfg: GNConfig) -> FactorGraph:
 
 
 def window_gn_step(g: FactorGraph, cfg: GNConfig, window: int,
-                   edge_window: int, landmarks: bool = True) -> FactorGraph:
+                   edge_window: int, landmarks: bool = True,
+                   lm_prior=None) -> FactorGraph:
     """One fixed-lag GN iteration: refine the trailing `window` poses (and,
     with `landmarks=True`, the map) with everything older marginalized.
 
@@ -494,16 +495,27 @@ def window_gn_step(g: FactorGraph, cfg: GNConfig, window: int,
 
     `landmarks=True` (the production mode) also refines the map: every
     landmark joins the system, anchored by the information of its
-    MARGINALIZED (out-of-window) observations as a prior at the current
-    estimate. Because the landmark Jacobian of an observation edge is a pure
-    rotation (J_ll = R^T, backend/residuals.py), each edge contributes
-    exactly `lm_info * I2` to its landmark's Hll — so the marginal prior is
-    `lm_info * n_out * I2` with zero gradient, and the assembled Hll is just
-    `lm_info * n_total * I2`: the full-batch Hll, for free. Only in-window
-    edges contribute gradient/coupling; landmarks untouched by the window
-    receive an exact-zero update. The solve is the same Schur elimination as
-    the full GN, at [3W, L] instead of [3P, L]. With `landmarks=False` the
-    map is constant and the system is pose-only block-tridiagonal.
+    MARGINALIZED (out-of-window) observations as a Gaussian prior. Because
+    the landmark Jacobian of an observation edge is a pure rotation
+    (J_ll = R^T, backend/residuals.py), each edge contributes exactly
+    `lm_info * I2` to its landmark's Hll — so the marginal prior carries
+    information `lm_info * n_out * I2`, and the assembled Hll is just
+    `lm_info * n_total * I2`: the full-batch Hll, for free. The prior's
+    MEAN is `lm_prior` — the estimate at the start of the firing, which is
+    the previous firing's posterior (nothing else moves existing landmarks
+    between firings) — contributing the restoring gradient
+    `lm_info * n_out * (x - lm_prior)`. This is the standard recursive
+    fixed-lag prior update (posterior mean of firing k becomes the prior
+    mean of firing k+1); with `lm_prior=None` the prior centers at the
+    current estimate (zero gradient — damping only, the pre-r4 behavior,
+    kept for single-step callers). Oracle: a stationary window converges
+    to the information-weighted mean of prior and in-window measurements
+    (tests/test_backend.py::test_window_gn_marginal_prior_restores).
+    Only in-window edges contribute coupling; landmarks untouched by the
+    window (n_out = 0 and no in-window edges) receive an exact-zero update.
+    The solve is the same Schur elimination as the full GN, at [3W, L]
+    instead of [3P, L]. With `landmarks=False` the map is constant and the
+    system is pose-only block-tridiagonal.
     """
     W, EW = window, edge_window
     dtype = g.poses.dtype
@@ -609,6 +621,14 @@ def window_gn_step(g: FactorGraph, cfg: GNConfig, window: int,
             jtl = jnp.swapaxes(j_ll, -1, -2)
             gl = (onehot_l @ (w_l[:, None] * (jtl @ r_l[..., None])[..., 0])) \
                 * flm[:, None]
+            if lm_prior is not None:
+                # restoring gradient of the marginalized-information prior
+                # (mean = start-of-firing estimate); n_out = total obs minus
+                # in-window obs per landmark
+                ve_in = ((ke < g.n_obs) & (op >= w0)).astype(dtype)
+                n_out = jnp.maximum(n_tot - onehot_l @ ve_in, 0.0)
+                gl = gl + (jnp.asarray(cfg.lm_info, dtype) * n_out
+                           * flm)[:, None] * (g.lm_xy - lm_prior)
             hpp = densify_hpp(h_diag, h_off)
             dp, dl = schur_solve_split(hpp, w0c, w1c, hll,
                                        gp.reshape(-1), gl)
@@ -637,12 +657,19 @@ def optimize_window(g: FactorGraph, cfg: GNConfig, window: int,
     """`optimize`'s loop shell around `window_gn_step` (fixed-lag
     refinement). Straight-line per iteration — no bucketing, no lax.switch —
     so it is safe inside scans and under vmap; `enable=False` is an exact
-    zero-trip identity."""
+    zero-trip identity.
+
+    With `landmarks=True` the marginalized-information landmark prior is
+    anchored at the ENTRY estimate (the previous firing's posterior — see
+    window_gn_step's docstring), so out-of-window observations exert a true
+    restoring force across the firing's iterations instead of only damping
+    the step (ADVICE r3)."""
     iters = jnp.int32(cfg.iterations)
     if enable is not None:
         iters = jnp.where(enable, iters, 0)
     tol = jnp.asarray(cfg.early_exit_tol, g.poses.dtype) \
         if cfg.early_exit_tol > 0.0 else jnp.asarray(-jnp.inf, g.poses.dtype)
+    lm_prior = g.lm_xy if landmarks else None
 
     def cond(carry):
         _, i, delta = carry
@@ -651,7 +678,7 @@ def optimize_window(g: FactorGraph, cfg: GNConfig, window: int,
     def body(carry):
         gg, i, _ = carry
         g2 = window_gn_step(gg, cfg, window, edge_window,
-                            landmarks=landmarks)
+                            landmarks=landmarks, lm_prior=lm_prior)
         delta = jnp.maximum(jnp.max(jnp.abs(g2.poses - gg.poses)),
                             jnp.max(jnp.abs(g2.lm_xy - gg.lm_xy)))
         return g2, i + 1, delta

