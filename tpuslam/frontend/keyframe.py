@@ -502,7 +502,13 @@ def _mapping_step(state: SlamState, obs, obs_valid, pose, pose_idx,
 def _pose_refine(pose, g: G.FactorGraph, idx, matched, meas_xy, iters=3):
     """Pose-only GN against the frozen map (improvement over the reference,
     whose localization-mode optimize is disabled — src/slam.cpp:403)."""
-    lm = g.lm_xy[idx]
+    return _pose_refine_rows(pose, g.lm_xy[idx], matched, meas_xy, iters)
+
+
+def _pose_refine_rows(pose, lm, matched, meas_xy, iters=3):
+    """`_pose_refine` on pre-gathered landmark rows — the resident-map
+    pipeline gathers its rows from the shards (parallel/resident_online.py)
+    and must run the identical solve for bit-parity."""
     w = matched.astype(pose.dtype)
 
     def step(_, p):
