@@ -306,6 +306,36 @@ def test_fusion_info_weighted_merge_beats_count_weighted():
     assert e_inf <= e_cnt + 5e-3, (e_inf, e_cnt)
 
 
+def test_fusion_mixed_info_fallback_weights_consistently():
+    """ADVICE r3: in a mixed group (one info-carrying member, one zero-info
+    member, equal observation counts), the zero-info fallback must weigh
+    like an AVERAGE-information member — the merge lands at the midpoint,
+    not ~lm_info x toward the info-carrying member."""
+    import dataclasses as _dc
+
+    from tpuslam.backend.graph import add_landmark, add_observation, add_pose, empty_graph
+    cap = GraphCapacity(max_poses=4, max_landmarks=4, max_obs=16)
+
+    def one_session(x, n_obs):
+        g = empty_graph(cap)
+        g = add_pose(g, jnp.zeros(3), jnp.zeros(3))
+        g = add_landmark(g, jnp.asarray([x, 0.0], jnp.float32), jnp.int32(1))
+        for _ in range(n_obs):
+            g = add_observation(g, jnp.int32(0), jnp.int32(0),
+                                jnp.asarray([x, 0.0], jnp.float32))
+        return g
+
+    stacked = stack_graphs([one_session(0.0, 5), one_session(1.0, 5)])
+    # session 0: accumulated info (100, 0, 100) over 5 obs (20/obs);
+    # session 1: zero info -> fallback = nominal(20) * 5 = equal weight
+    lm_info = jnp.zeros((2, cap.max_landmarks, 3), jnp.float32)
+    lm_info = lm_info.at[0, 0].set(jnp.asarray([100.0, 0.0, 100.0]))
+    fused, _rep = fusion.fuse_graphs(stacked, gate=1.2, lm_info=lm_info)
+    assert int(fused.n_landmarks) == 1
+    x = float(fused.lm_xy[0, 0])
+    assert abs(x - 0.5) < 0.05, x   # old behavior: ~0.048 (pulled to A)
+
+
 def test_fusion_with_drifted_sessions_recovers():
     """Alignment + fusion on realistically drifted/offset improved sessions:
     the fused map must stay within the per-session error band."""

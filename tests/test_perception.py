@@ -89,6 +89,41 @@ def test_attention_rejects_wall_and_dust():
     assert int(n) == 0, np.asarray(out)[np.asarray(ok)]
 
 
+def test_attention_cell_overflow_visible_and_benign():
+    """ADVICE r3: the tuned cell_capacity=32 silently truncates cells with
+    more points — make that visible (grid_cell_overflow counter) and show
+    detections on a denser-than-tuning scene are unchanged vs K=64."""
+    from tpuslam.perception.attention import grid_cell_overflow
+    rng = np.random.default_rng(5)
+    cones = np.array([[4.0, 1.0], [6.0, -2.0], [8.5, 2.5]])
+    types = np.array([1, 2, 1])
+    # dense scene: ~5x the points-per-cone of the tuning scene
+    scfg = Vlp16SceneConfig(seed=5, points_per_cone=300)
+    pts, inten = render_scene(cones, types, scfg)
+    pcap, vcap, icap = _pad(pts, inten)
+    base = dict(sensor_height=scfg.sensor_height,
+                ground_layer_z=-scfg.sensor_height,
+                inlier_found_threshold=300, clustering="grid",
+                max_points=2000)
+    a32 = AttentionConfig(**base, cell_capacity=32)
+    a64 = AttentionConfig(**base, cell_capacity=64)
+    # the counter sees the overflow on the ground-masked cloud
+    above = pts[:, 2] > (-scfg.sensor_height + 0.05)
+    xy = jnp.asarray(pts[above, :2], jnp.float32)
+    ov32 = int(grid_cell_overflow(xy, jnp.ones(len(xy), bool), a32))
+    assert ov32 > 0, "dense scene should overflow K=32 cells"
+    assert int(grid_cell_overflow(xy, jnp.ones(len(xy), bool), a64)) < ov32
+    # and the truncation is benign here: identical detections at K=64
+    out32, ok32, n32 = detect_cones(pcap, vcap, a32, intensity=icap)
+    out64, ok64, n64 = detect_cones(pcap, vcap, a64, intensity=icap)
+    # capacity-equivalence is the claim under test (scene artifacts like
+    # point-bridged merges affect both K equally)
+    assert int(n32) == int(n64) >= 2, (int(n32), int(n64))
+    np.testing.assert_allclose(np.asarray(out32)[np.asarray(ok32)][:, :3],
+                               np.asarray(out64)[np.asarray(ok64)][:, :3],
+                               atol=0.05)
+
+
 def test_full_loop_packets_to_cones():
     """Scene -> packets -> decode -> attention recovers the cones."""
     cones = np.array([[5.0, 1.5], [8.0, -1.0]])

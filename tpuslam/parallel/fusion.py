@@ -288,13 +288,24 @@ def fuse_graphs(stacked: FactorGraph, gate: float = 1.2, mesh=None,
     w_eff = jnp.where(lm_valid, jnp.maximum(w_obs, 1.0), 0.0)
     if lm_info is not None:
         # information-weighted: x* = (sum Lambda)^-1 sum Lambda x, with the
-        # packed (a, b, c) per-member information; zero-info members use an
-        # obs-count isotropic fallback so they still pull their weight
+        # packed (a, b, c) per-member information. Zero-info members fall
+        # back to an isotropic weight of nominal_info * n_obs, where
+        # nominal_info is the batch's mean per-observation information of
+        # the info-carrying members — so in a MIXED group the fallback
+        # member weighs like an average-information member with the same
+        # observation count, not 1/lm_info of one (ADVICE r3). With no
+        # info-carrying members at all, nominal = 1 (pure obs-count
+        # weighting among themselves — scale cancels in the mean).
         info = lm_info.reshape(sl, 3)
         has = (info[:, 0] + info[:, 2]) > 0.0
-        a = jnp.where(has, info[:, 0], w_eff)
+        has_f = (has & lm_valid).astype(dtype)
+        tot_info = jnp.sum(0.5 * (info[:, 0] + info[:, 2]) * has_f)
+        tot_obs = jnp.sum(w_eff * has_f)
+        nominal = jnp.where(tot_obs > 0.0,
+                            tot_info / jnp.maximum(tot_obs, 1.0), 1.0)
+        a = jnp.where(has, info[:, 0], nominal * w_eff)
         b = jnp.where(has, info[:, 1], 0.0)
-        c = jnp.where(has, info[:, 2], w_eff)
+        c = jnp.where(has, info[:, 2], nominal * w_eff)
         lam_x = a * all_xy[:, 0] + b * all_xy[:, 1]
         lam_y = b * all_xy[:, 0] + c * all_xy[:, 1]
         zero = jnp.zeros((sl,), dtype)

@@ -214,6 +214,29 @@ def _connected_components_grid(points_xy, valid, cfg: AttentionConfig):
 
 
 @partial(jax.jit, static_argnames="cfg")
+def grid_cell_overflow(points, valid, cfg: AttentionConfig):
+    """Diagnostic counter for the grid-clustering capacity caveat (ADVICE
+    r3): number of points beyond `cell_capacity` in their hash cell — those
+    fold into the cell's rank-0 component instead of being distance-checked
+    (see `_connected_components_grid`). Run on ground-MASKED points (the
+    same [N, 2] xy + validity the label loop sees) to decide whether the
+    tuned K=32 silently truncates on a denser-than-tuning scene; nonzero
+    overflow on a scene with legitimate cone-sized clusters means K should
+    be raised for that deployment."""
+    h = cfg.connect_distance_threshold
+    nx = int(math.ceil(cfg.y_boundary / h)) + 3
+    ny = int(math.ceil(2.0 * cfg.x_boundary / h)) + 3
+    c = nx * ny
+    cx = jnp.clip(jnp.floor(points[:, 0] / h).astype(jnp.int32) + 1,
+                  0, nx - 1)
+    cy = jnp.clip(jnp.floor((points[:, 1] + cfg.x_boundary) / h)
+                  .astype(jnp.int32) + 1, 0, ny - 1)
+    cell = jnp.where(valid, cx * ny + cy, c)
+    cnt = jnp.zeros((c + 1,), jnp.int32).at[cell].add(1)
+    return jnp.sum(jnp.maximum(cnt[:c] - cfg.cell_capacity, 0))
+
+
+@partial(jax.jit, static_argnames="cfg")
 def detect_cones(points, valid, cfg: AttentionConfig, seed=0, intensity=None):
     """Point cloud [N,3] (sensor frame: x fwd, y left, z up) -> cone tuples.
 
