@@ -352,7 +352,7 @@ def main():
                         flops / sec_knee / pk[0] * 100, 2)
                     out["knee_hbm_util_pct"] = round(
                         byts / sec_knee / pk[1] * 100, 1)
-            lo = sweep[0]
+            lo = next((r for r in sweep if r["sessions"] == 16), sweep[0])
             hi = sweep[-1]
             if "hbm_util_pct" in lo and "hbm_util_pct" in hi:
                 out["knee_limiter"] = (
@@ -368,6 +368,48 @@ def main():
                     "MFU — see ARCHITECTURE.md §9")
         except Exception as e:  # noqa: BLE001
             out["error_knee_attribution"] = repr(e)[:160]
+
+        # ---- per-subsystem byte budget at S=16 (VERDICT r3 next #1):
+        # compile-only cost analysis with one subsystem ablated at a time
+        # (frontend/blocked.py measurement hooks) attributes the pass's
+        # HBM bytes to arrays/subsystems instead of asserting a limiter
+        try:
+            def bytes_of(ablate, compact=32):
+                s_n = 16
+                o = obs_b[:s_n]
+                v = valid_b[:s_n]
+                p = poses_b[:s_n]
+
+                @jax.jit
+                def run():
+                    from tpuslam.parallel.batch import initial_states as ist
+
+                    def one(_, __):
+                        sts = ist(cap_b, s_n)
+                        sts, _o2, done = jax.vmap(
+                            lambda st, oo, vv, pp:
+                            BL.blocked_core.__wrapped__(
+                                st, oo, vv, pp, cfg_b, 32,
+                                vmap_safe_gn=True, compact_obs=compact,
+                                ablate=ablate))(sts, o, v, p)
+                        return (), sts.graph.n_poses[0] + jnp.min(done)
+                    _, ys = jax.lax.scan(one, (), None, length=1)
+                    return ys
+                ca2 = run.lower().compile().cost_analysis()
+                if isinstance(ca2, (list, tuple)):
+                    ca2 = ca2[0]
+                return float(ca2.get("bytes accessed", 0.0))
+
+            base_b = bytes_of(frozenset())
+            budget = {"total_gb": round(base_b / 1e9, 3)}
+            for nm in ("dup", "assoc", "packet", "edges"):
+                _note(f"byte budget: {nm}")
+                delta = base_b - bytes_of(frozenset({nm}))
+                budget[f"{nm}_gb"] = round(delta / 1e9, 3)
+                budget[f"{nm}_pct"] = round(delta / base_b * 100, 1)
+            out["byte_budget_s16"] = budget
+        except Exception as e:  # noqa: BLE001
+            out["error_byte_budget"] = repr(e)[:160]
         return out
 
     _section(extras, "batched_sessions", batched_section)
@@ -451,12 +493,66 @@ def main():
             return run
 
         fuse_ms = timed_slope(multi_fuse, 1, 4) * 1e3
+
+        # ---- drifted variant (VERDICT r3 weak #5): sessions rigidly
+        # offset (no shared GPS anchor), so the ICP registration path runs
+        # ON CHIP inside the timed fusion — priors are dropped (they would
+        # pin each session to its own drifted frame) and alignment is on.
+        rngd = np.random.default_rng(7)
+        offs = rngd.uniform([-0.6, -0.6, -0.04], [0.6, 0.6, 0.04], (s_f, 3))
+        offs[0] = 0.0                                # session 0 = anchor
+        c, si = np.cos(offs[:, 2]), np.sin(offs[:, 2])
+        p_np = np.asarray(poses_f)
+        xy = np.einsum("sij,stj->sti",
+                       np.stack([np.stack([c, si], -1),
+                                 np.stack([-si, c], -1)], 1),
+                       p_np[:, :, :2])
+        poses_d = np.stack([xy[..., 0] + offs[:, None, 0],
+                            xy[..., 1] + offs[:, None, 1],
+                            p_np[:, :, 2] + offs[:, None, 2]], -1)
+        # run_sequences_... wrapper: drifted closures can land on mid-block
+        # boundaries (fallback), the wrapper finishes per-frame
+        sts_d, _od = BL.run_sequences_blocked_batched(
+            initial_states(cap_f, s_f), obs_f, valid_f,
+            jnp.asarray(poses_d, jnp.float32), cfg_f, 16)
+        st_drift = sts_d.graph
+        gate_d = 2.0 * gate_f       # annealed ICP gate spans the drift
+        fused_d, rep_d = fusion.fuse_sessions(
+            st_drift, cfg=fcfg, gate=gate_d, lm_info=sts_d.lm_info_xy,
+            align=True)
+        jax.block_until_ready(fused_d.poses)
+        lmd = np.asarray(fused_d.lm_xy)[:int(fused_d.n_landmarks)]
+        # drifted sessions lose the shared frame: compare up to the
+        # anchor session's frame (session 0 is unoffset, so direct)
+        map_err_d = float(np.median(np.linalg.norm(
+            lmd[:, None, :] - track.cones_xy[None], axis=-1).min(axis=1)))
+
+        def multi_fuse_d(k):
+            @jax.jit
+            def run():
+                def one(cr, __):
+                    st2 = _dc.replace(
+                        st_drift,
+                        poses=st_drift.poses.at[0, 0, 0].add(cr))
+                    f2, _r = fusion.fuse_sessions(st2, cfg=fcfg,
+                                                  gate=gate_d,
+                                                  lm_info=sts_d.lm_info_xy,
+                                                  align=True)
+                    return f2.poses[0, 0] * 1e-12, f2.poses[0, 0]
+                _, ys = jax.lax.scan(one, jnp.float32(0), None, length=k)
+                return ys
+            return run
+
+        fuse_d_ms = timed_slope(multi_fuse_d, 1, 4) * 1e3
         return {"fusion_sessions": s_f,
                 "fusion_latency_ms": round(fuse_ms, 2),
                 "fused_landmarks": int(fused.n_landmarks),
                 "fusion_cross_session_merges":
                     int(rep["n_cross_session_merges"]),
-                "map_error_fused_m": round(map_err, 4)}
+                "map_error_fused_m": round(map_err, 4),
+                "map_error_fused_drifted_m": round(map_err_d, 4),
+                "fused_landmarks_drifted": int(fused_d.n_landmarks),
+                "fusion_drifted_latency_ms": round(fuse_d_ms, 2)}
 
     _section(extras, "cross_session_fusion", fusion_section)
 

@@ -451,15 +451,15 @@ def _mapping_block(state: SlamState, obs, valid, poses, okp,
         n_landmarks=jnp.minimum(g.n_landmarks + n_new_total, cap_l),
     )
 
-    # ---- contiguous edge append in global observation order
+    # ---- contiguous edge append in global observation order: kept-first
+    # stable argsort IS the permutation (kept rows first, original relative
+    # order preserved). The previous cumsum-rank + scatter form computed
+    # the same permutation via a [BN] scatter — measured at ~40 us/block on
+    # v5e (scatters lower to sort-based loops anyway, so sort directly;
+    # scripts/exp_b8_attribution.py / exp_edge_append.py)
     keep = matched | ((is_new_s | dup_same_s) & slot_ok)
-    keep_i = keep.astype(jnp.int32)
-    n_keep = jnp.sum(keep_i)
-    rank_keep = jnp.cumsum(keep_i) - keep_i
-    rank_drop = jnp.cumsum(1 - keep_i) - (1 - keep_i)
-    pos = jnp.where(keep, rank_keep, n_keep + rank_drop)
-    perm = jnp.zeros((BN,), jnp.int32).at[pos].set(
-        jnp.arange(BN, dtype=jnp.int32))
+    n_keep = jnp.sum(keep.astype(jnp.int32))
+    perm = jnp.argsort(~keep, stable=True).astype(jnp.int32)
     base = jnp.minimum(g.n_obs, cap_e - BN)
     pose_idx_k = pose_idx_f[frame_of]
     if "edges" not in ablate:

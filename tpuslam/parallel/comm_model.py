@@ -37,7 +37,9 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 __all__ = ["CommModel", "tier_bytes_per_iteration", "predict_times",
-           "predict_efficiency"]
+           "predict_efficiency", "hier_bytes_per_iteration",
+           "hier_comm_time", "flat_comm_time", "predict_efficiency_hier",
+           "predict_efficiency_weak"]
 
 F32 = 4
 
@@ -75,6 +77,11 @@ def tier_bytes_per_iteration(tier: str, *, P: int, L: int, D: int,
 class CommModel:
     ici_bw_bytes_per_s: float = 186e9   # one v5e chip's usable ICI
     collective_latency_s: float = 1e-6  # per collective launch/hop
+    # DCN tier (SURVEY §5.8 names ICI *and* DCN; VERDICT r3 next #4): the
+    # inter-slice/host network. Both are stated inputs, not measurements —
+    # ~25 GB/s usable per host (200 Gbps NICs) and ~10 us per collective.
+    dcn_bw_bytes_per_s: float = 25e9
+    dcn_latency_s: float = 10e-6
 
 
 def predict_times(tier: str, t_comp_1dev_s: float, D: int, *, P: int, L: int,
@@ -104,3 +111,99 @@ def predict_efficiency(tier: str, t_comp_1dev_s: float, D: int, *, P: int,
                         shared_cap=shared_cap, model=model,
                         iterations=iterations)["t_total_s"]
     return t_comp_1dev_s / (D * t_d)
+
+
+def hier_bytes_per_iteration(D: int, tray: int, *,
+                             shared_per_boundary: float = 2.0) -> dict:
+    """Per-iteration payloads of the two-level hierarchical resident DD
+    solve (parallel/hier.py), split by the domain the collective rides.
+
+    The flat shared set grows with the block count (each block boundary
+    contributes ~`shared_per_boundary` straddling landmarks), so the flat
+    interface m = 3D + 3 + 2*c*D grows linearly in D; the hierarchy keeps
+    the big exchange within a tray (ms ~ m/T + K) and sends only
+    mk = 3T + 3 + 2*c*T across trays.
+    """
+    G = tray
+    T = max(D // G, 1)
+    c = shared_per_boundary
+    lsh = int(c * D)
+    lsh_t = int(c * (G - 1)) + 1
+    lsh_x = int(c * T) + 1
+    wt = 3 * (G - 1) + 2 * lsh_t
+    mk = 3 * T + 3 + 2 * lsh_x
+    ms = wt + mk
+    return dict(
+        payload_psum_ici=(ms * ms + ms) * F32,       # level-1, tray group
+        payload_psum_dcn=(mk * mk + mk + lsh * 8) * F32,  # level-2 + lm psums
+        n_collectives_ici=2, n_collectives_dcn=3,
+        ms=ms, mk=mk, lsh=lsh)
+
+
+def hier_comm_time(D: int, tray: int, *, shared_per_boundary: float = 2.0,
+                   model: CommModel = CommModel(),
+                   iterations: int = 1) -> float:
+    """Per-solve communication time of the hierarchical solve: the level-1
+    ring rides ICI within the tray, level 2 crosses trays on DCN."""
+    v = hier_bytes_per_iteration(D, tray,
+                                 shared_per_boundary=shared_per_boundary)
+    G = tray
+    T = max(D // G, 1)
+    ring_g = 2.0 * (G - 1) / G
+    ring_t = 2.0 * (T - 1) / T if T > 1 else 0.0
+    return iterations * (
+        ring_g * v["payload_psum_ici"] / model.ici_bw_bytes_per_s
+        + ring_t * v["payload_psum_dcn"] / model.dcn_bw_bytes_per_s
+        + v["n_collectives_ici"] * model.collective_latency_s * G ** 0.5
+        + v["n_collectives_dcn"] * model.dcn_latency_s * max(T, 1) ** 0.5)
+
+
+def predict_efficiency_hier(t_comp_1dev_s: float, D: int, tray: int, *,
+                            shared_per_boundary: float = 2.0,
+                            model: CommModel = CommModel(),
+                            iterations: int = 1) -> float:
+    """STRONG-scaling efficiency of the hierarchical solve (fixed problem
+    split D ways)."""
+    t_comm = hier_comm_time(D, tray, shared_per_boundary=shared_per_boundary,
+                            model=model, iterations=iterations)
+    t_d = t_comp_1dev_s / D + t_comm
+    return t_comp_1dev_s / (D * t_d)
+
+
+def flat_comm_time(D: int, *, shared_per_boundary: float = 2.0,
+                   model: CommModel = CommModel(),
+                   iterations: int = 1, cross_domain: bool = True) -> float:
+    """Per-solve comm time of the FLAT resident DD at fleet scale: the
+    shared set grows with the block count (lsh = c*D), so the single
+    [m, m] interface psum has m = 3D + 3 + 2cD. Past one tray the flat
+    psum necessarily crosses DCN (`cross_domain`)."""
+    c = shared_per_boundary
+    lsh = int(c * D)
+    m = 3 * D + 3 + 2 * lsh
+    ring = 2.0 * (D - 1) / D
+    bw = model.dcn_bw_bytes_per_s if cross_domain and D > 8 \
+        else model.ici_bw_bytes_per_s
+    lat = model.dcn_latency_s if cross_domain and D > 8 \
+        else model.collective_latency_s
+    payload = (m * m + m + lsh * 8) * F32
+    return iterations * (ring * payload / bw + 3 * lat * D ** 0.5)
+
+
+def predict_efficiency_weak(tier: str, t_comp_per_dev_s: float, D: int, *,
+                            tray: int = 8, shared_per_boundary: float = 2.0,
+                            model: CommModel = CommModel(),
+                            iterations: int = 1) -> float:
+    """WEAK-scaling efficiency — the pod-scale-mapping regime (BASELINE
+    config 5): the fleet's map/chain grows with D, per-device compute
+    constant. eff = t_pd / (t_pd + t_comm(D)). Tiers: 'chain_dd_resident'
+    (flat interface, grows with D) or 'chain_dd_hier'."""
+    if tier == "chain_dd_hier":
+        t_comm = hier_comm_time(D, tray,
+                                shared_per_boundary=shared_per_boundary,
+                                model=model, iterations=iterations)
+    elif tier == "chain_dd_resident":
+        t_comm = flat_comm_time(D, shared_per_boundary=shared_per_boundary,
+                                model=model, iterations=iterations)
+    else:
+        raise ValueError(tier)
+    return t_comp_per_dev_s / (t_comp_per_dev_s + t_comm)

@@ -290,15 +290,11 @@ def _mapping_block_resident(state: SlamState, lm_xy_l, lm_type_l, lm_info_l,
     g = dataclasses.replace(
         g, n_landmarks=jnp.minimum(g.n_landmarks + n_new_total, L_glob))
 
-    # ---- contiguous edge append (edge arrays replicated, global lm ids)
+    # ---- contiguous edge append (edge arrays replicated, global lm ids);
+    # kept-first stable argsort = the permutation (see frontend/blocked.py)
     keep = matched | ((is_new_s | dup_same_s) & slot_ok)
-    keep_i = keep.astype(jnp.int32)
-    n_keep = jnp.sum(keep_i)
-    rank_keep = jnp.cumsum(keep_i) - keep_i
-    rank_drop = jnp.cumsum(1 - keep_i) - (1 - keep_i)
-    pos = jnp.where(keep, rank_keep, n_keep + rank_drop)
-    perm = jnp.zeros((BN,), jnp.int32).at[pos].set(
-        jnp.arange(BN, dtype=jnp.int32))
+    n_keep = jnp.sum(keep.astype(jnp.int32))
+    perm = jnp.argsort(~keep, stable=True).astype(jnp.int32)
     base_e = jnp.minimum(g.n_obs, cap_e - BN)
     pose_idx_k = pose_idx_f[frame_of]
     g = dataclasses.replace(
