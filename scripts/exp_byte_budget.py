@@ -74,6 +74,11 @@ def main(s_n=16, block=32, compact=32, run_timed=True):
             return run
         return multi
 
+    def min_done(ablate, compact_obs=compact):
+        sts = initial_states(cap, s_n)
+        _s, _o, done = _batched(sts, ablate, compact_obs)
+        return int(jnp.min(done))
+
     cases = [
         ("baseline", frozenset(), compact),
         ("no-dup", frozenset({"dup"}), compact),
@@ -106,6 +111,7 @@ def main(s_n=16, block=32, compact=32, run_timed=True):
             sec = timed_slope(r, 1, 3, reps=3)
             fps = s_n * t_b / sec
             msg += f"  sec/pass={sec:7.4f} fps={fps/1e3:7.1f}k"
+            msg += f" done={min_done(ab, co)}/{t_b}"
             if base_sec is None:
                 base_sec = sec
         print(msg, flush=True)

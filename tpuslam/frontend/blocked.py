@@ -231,20 +231,15 @@ def _packet_series(lm_xy, lm_type, n_lm_after, cur_after, out_pose,
     return az, dist, lm_type[idx]
 
 
-def _inblock_duplicates(glob_k, otype_k, frame_of, cand, snap_match,
-                        cost_snap, thresh2, gate, cfg: SlamConfig):
-    """In-block creations + duplicate representatives over the flattened
-    [BN] observation axis (the blocked form of run_sequence's per-frame
-    phase-B — see `_mapping_block`'s docstring).
+DUP_PACKED = True   # module switch for the pair-machinery implementation
+# (A/B measured in scripts/exp_dup_impl.py; both are bit-identical)
 
-    Candidates are pre-suppression; closure suppression is applied post-hoc
-    by the caller (the first closure obs precedes everything it suppresses,
-    so representatives of surviving duplicates always survive too).
 
-    `cost_snap` is the phase-A matched cost in gate units (None for the
-    'first' policy). Returns (is_new, use_ib, dup_same, rep_prev, rep_same,
-    prev_any, matched_pf).
-    """
+def _inblock_duplicates_naive(glob_k, otype_k, frame_of, cand, snap_match,
+                              cost_snap, thresh2, gate, cfg: SlamConfig,
+                              n_slots: int):
+    """Reference implementation of `_inblock_duplicates`: materialized
+    [BN, BN] bool pair mask, fixpoint re-reads it per round."""
     BN = glob_k.shape[0]
     gd = glob_k[:, None, :] - glob_k[None, :, :]
     gd2 = jnp.sum(gd * gd, axis=-1)
@@ -255,14 +250,117 @@ def _inblock_duplicates(glob_k, otype_k, frame_of, cand, snap_match,
         dup_of_new = jnp.any(gsame & is_new[None, :], axis=1)
         is_new = cand & ~dup_of_new
     rep_ok = gsame & is_new[None, :]
-    # a creation from an EARLIER frame is part of run_sequence's per-frame
-    # phase-A map (competes with snapshot landmarks under the association
-    # policy); a SAME-frame creation is the in-frame duplicate
-    # (first-representative, matching _mapping_step_vectorized)
     prev_ok = rep_ok & (frame_of[None, :] < frame_of[:, None])
     same_ok = rep_ok & (frame_of[None, :] == frame_of[:, None])
     prev_any = jnp.any(prev_ok, axis=1)
     if cfg.association in ("nearest", "mahalanobis"):
+        gd2_prev = jnp.where(prev_ok, gd2, jnp.inf)
+        rep_prev = jnp.argmin(gd2_prev, axis=1).astype(jnp.int32)
+        d2_ib = jnp.min(gd2_prev, axis=1)
+        ib_cost = d2_ib * (gate / thresh2) \
+            if cfg.association == "mahalanobis" else d2_ib
+        use_ib = prev_any & (ib_cost < cost_snap)
+    else:
+        rep_prev = jnp.argmax(prev_ok, axis=1).astype(jnp.int32)
+        use_ib = prev_any & ~snap_match
+    matched_pf = snap_match | prev_any
+    rep_same = jnp.argmax(same_ok, axis=1).astype(jnp.int32)
+    dup_same = cand & ~matched_pf & jnp.any(same_ok, axis=1)
+    return is_new, use_ib, dup_same, rep_prev, rep_same, prev_any, matched_pf
+
+
+def _inblock_duplicates(glob_k, otype_k, frame_of, cand, snap_match,
+                        cost_snap, thresh2, gate, cfg: SlamConfig,
+                        n_slots: int):
+    """In-block creations + duplicate representatives over the flattened
+    [BN] observation axis (the blocked form of run_sequence's per-frame
+    phase-B — see `_mapping_block`'s docstring). `n_slots` is the (static)
+    observation-slot count per frame: the caller lays rows out as
+    frame_of = repeat(arange(B), n_slots).
+
+    Candidates are pre-suppression; closure suppression is applied post-hoc
+    by the caller (the first closure obs precedes everything it suppresses,
+    so representatives of surviving duplicates always survive too).
+
+    Bit-packed (r4): the naive form materialized the [BN, BN] bool pair
+    mask and re-read it once per fixpoint round plus once per
+    representative reduction — measured at ~30% of the whole batched pass
+    (scripts/exp_byte_budget.py). The pair mask packs into [BN, BN/32]
+    uint32 words (32x smaller fixpoint working set); first-match
+    representatives come from lowest-set-bit extraction, and the
+    frame-order masks are packed prefix/band lookups with only B distinct
+    rows. The nearest/mahalanobis representative distance argmin recomputes
+    the pair predicates in one fused pass (glob_k/otype_k are a few KB).
+    Results are bit-identical to the naive form
+    (tests/test_blocked_equivalence.py).
+
+    `cost_snap` is the phase-A matched cost in gate units (None for the
+    'first' policy). Returns (is_new, use_ib, dup_same, rep_prev, rep_same,
+    prev_any, matched_pf).
+    """
+    if not DUP_PACKED:
+        return _inblock_duplicates_naive(glob_k, otype_k, frame_of, cand,
+                                         snap_match, cost_snap, thresh2,
+                                         gate, cfg, n_slots)
+    BN = glob_k.shape[0]
+    N = n_slots
+    Bf = BN // N
+    nw = (BN + 31) // 32
+    pad = nw * 32 - BN
+    wts = jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)
+
+    def pack(bits):                               # [.., BN] bool -> uint32
+        if pad:
+            bits = jnp.concatenate(
+                [bits, jnp.zeros(bits.shape[:-1] + (pad,), bool)], -1)
+        return jnp.sum(bits.reshape(bits.shape[:-1] + (nw, 32))
+                       .astype(jnp.uint32) * wts, axis=-1, dtype=jnp.uint32)
+
+    def pair_bool():                              # fused per consumer
+        gd = glob_k[:, None, :] - glob_k[None, :, :]
+        gd2 = jnp.sum(gd * gd, axis=-1)
+        lower = jnp.arange(BN)[:, None] > jnp.arange(BN)[None, :]
+        same = (otype_k[:, None] == otype_k[None, :]) & (gd2 < thresh2) \
+            & lower
+        return same, gd2
+
+    gbits = pack(pair_bool()[0])                  # [BN, nw], built once
+
+    is_new = cand
+    for _ in range(cfg.in_frame_dup_depth + 4):
+        nbits = pack(is_new)                      # [nw]
+        dup_of_new = jnp.any((gbits & nbits[None, :]) != 0, axis=1)
+        is_new = cand & ~dup_of_new
+
+    # frame-order masks: packed prefix (earlier frames) / band (same frame)
+    # tables with one row per frame
+    kk = jnp.arange(nw * 32, dtype=jnp.int32)[:BN]
+    lim = jnp.arange(Bf, dtype=jnp.int32)[:, None] * N
+    pre_tab = pack(kk[None, :] < lim)             # [Bf, nw]
+    band_tab = pack((kk[None, :] >= lim) & (kk[None, :] < lim + N))
+    nbits = pack(is_new)
+    rep_base = gbits & nbits[None, :]
+    m_prev = rep_base & pre_tab[frame_of]
+    m_same = rep_base & band_tab[frame_of]
+    prev_any = jnp.any(m_prev != 0, axis=1)
+    same_any = jnp.any(m_same != 0, axis=1)
+
+    def first_bit(m):
+        """Smallest set global bit index per row (= argmax over the bool
+        mask, i.e. the FIRST match in index order); rows with no set bit
+        return a clamped in-range value (callers gate on the any-flag)."""
+        w = jnp.argmax(m != 0, axis=1).astype(jnp.int32)
+        word = jnp.take_along_axis(m, w[:, None], axis=1)[:, 0]
+        lsb = word & (~word + jnp.uint32(1))
+        b = jax.lax.population_count(lsb - jnp.uint32(1)).astype(jnp.int32)
+        return jnp.minimum(w * 32 + b, BN - 1)
+
+    if cfg.association in ("nearest", "mahalanobis"):
+        # nearest in-block representative: masked distance argmin in one
+        # fused recompute pass
+        gsame2, gd2 = pair_bool()
+        prev_ok = gsame2 & is_new[None, :] \
+            & (frame_of[None, :] < frame_of[:, None])
         gd2_prev = jnp.where(prev_ok, gd2, jnp.inf)
         rep_prev = jnp.argmin(gd2_prev, axis=1).astype(jnp.int32)
         d2_ib = jnp.min(gd2_prev, axis=1)
@@ -274,17 +372,18 @@ def _inblock_duplicates(glob_k, otype_k, frame_of, cand, snap_match,
         # strict <: ties go to the snapshot landmark (lower vertex index)
         use_ib = prev_any & (ib_cost < cost_snap)
     else:
-        rep_prev = jnp.argmax(prev_ok, axis=1).astype(jnp.int32)
+        rep_prev = first_bit(m_prev)
         use_ib = prev_any & ~snap_match
     matched_pf = snap_match | prev_any           # run_sequence's "matched0"
-    rep_same = jnp.argmax(same_ok, axis=1).astype(jnp.int32)
-    dup_same = cand & ~matched_pf & jnp.any(same_ok, axis=1)
+    rep_same = first_bit(m_same)
+    dup_same = cand & ~matched_pf & same_any
     return is_new, use_ib, dup_same, rep_prev, rep_same, prev_any, matched_pf
 
 
 def _mapping_block(state: SlamState, obs, valid, poses, okp,
                    cfg: SlamConfig, boot_ok=None, overflow=None,
-                   assoc_mesh=None, ablate: frozenset = frozenset()):
+                   assoc_mesh=None, ablate: frozenset = frozenset(),
+                   emit_edges: bool = False):
     """Straight-line mapping-mode block (reference src/slam.cpp:552-635),
     GN-free: on closure, frames up to the closure frame commit and
     `loop_closure_complete` is set; the caller's top-level GN finishes the
@@ -327,8 +426,12 @@ def _mapping_block(state: SlamState, obs, valid, poses, okp,
     boot0 = valid[0, 0] if boot_ok is None else boot_ok[0]
     boot = (n_lm0 == 0) & boot0 & okp[0]
     g = G.add_landmark(g, glob_k[0], otype_k[0], enable=boot)
-    g = G.add_observation(g, pose_idx_f[0], jnp.int32(0), body_k[0],
-                          enable=boot)
+    if emit_edges:
+        # the boot edge becomes emitted row 0; only the counter advances
+        g = dataclasses.replace(g, n_obs=g.n_obs + boot.astype(jnp.int32))
+    else:
+        g = G.add_observation(g, pose_idx_f[0], jnp.int32(0), body_k[0],
+                              enable=boot)
 
     # ---- phase A: association against the block-start (post-boot) map.
     # Mahalanobis configs gate with the block-start lm_info_xy (the boot
@@ -387,7 +490,7 @@ def _mapping_block(state: SlamState, obs, valid, poses, okp,
         is_new, use_ib, dup_same, rep_prev, rep_same, prev_any, matched_pf = \
             _inblock_duplicates(glob_k, otype_k, frame_of, cand, snap_match,
                                 cost_snap if cfg.association != "first"
-                                else None, thresh2, gate, cfg)
+                                else None, thresh2, gate, cfg, N)
     new_rank = jnp.cumsum(is_new.astype(jnp.int32)) - is_new.astype(jnp.int32)
     slot_self = g.n_landmarks + new_rank
     row_rep = jnp.where(use_ib, rep_prev,
@@ -451,18 +554,34 @@ def _mapping_block(state: SlamState, obs, valid, poses, okp,
         n_landmarks=jnp.minimum(g.n_landmarks + n_new_total, cap_l),
     )
 
-    # ---- contiguous edge append in global observation order: kept-first
-    # stable argsort IS the permutation (kept rows first, original relative
-    # order preserved). The previous cumsum-rank + scatter form computed
-    # the same permutation via a [BN] scatter — measured at ~40 us/block on
-    # v5e (scatters lower to sort-based loops anyway, so sort directly;
-    # scripts/exp_b8_attribution.py / exp_edge_append.py)
+    # ---- edge append. Kept edges must land contiguously in global
+    # observation order. Two forms:
+    # - emit_edges (periodic-GN-free configs — nothing reads the edge
+    #   arrays inside the scan): the block EMITS its [BN+1] candidate rows
+    #   (boot row first) as scan outputs; the caller stacks them via the
+    #   scan's native static ys layout and compacts ONCE per pass. This
+    #   removes the per-block dynamic-base updates entirely — under vmap
+    #   those lower to scatters and were measured at ~27% of the whole
+    #   batched pass (scripts/exp_byte_budget.py).
+    # - in-place (periodic window GN reads trailing edges in-body): three
+    #   dynamic_update_slices per block, kept-first via one stable argsort
+    #   (the old cumsum-rank + [BN] scatter lowered to a sort anyway).
     keep = matched | ((is_new_s | dup_same_s) & slot_ok)
     n_keep = jnp.sum(keep.astype(jnp.int32))
-    perm = jnp.argsort(~keep, stable=True).astype(jnp.int32)
-    base = jnp.minimum(g.n_obs, cap_e - BN)
     pose_idx_k = pose_idx_f[frame_of]
-    if "edges" not in ablate:
+    edge_rows = None
+    if emit_edges:
+        edge_rows = (
+            jnp.concatenate([pose_idx_f[0][None], pose_idx_k]),
+            jnp.concatenate([jnp.zeros((1,), jnp.int32), target]),
+            jnp.concatenate([body_k[0][None], body_k]),
+            jnp.concatenate([boot[None], keep]),
+        )
+        g = dataclasses.replace(
+            g, n_obs=jnp.minimum(g.n_obs + n_keep, cap_e))
+    elif "edges" not in ablate:
+        perm = jnp.argsort(~keep, stable=True).astype(jnp.int32)
+        base = jnp.minimum(g.n_obs, cap_e - BN)
         g = dataclasses.replace(
             g,
             obs_pose=jax.lax.dynamic_update_slice(g.obs_pose,
@@ -522,7 +641,8 @@ def _mapping_block(state: SlamState, obs, valid, poses, okp,
     if overflow is not None:   # compaction dropped valid observations
         fallback = fallback | jnp.any(overflow & okp)
     aux = dict(closure_any=closure_any, kc_frame=kc_frame, fallback=fallback,
-               cur_series=cur_after, n_lm_series=n_lm_after, ins=ins)
+               cur_series=cur_after, n_lm_series=n_lm_after, ins=ins,
+               edge_rows=edge_rows)
     return new_state, outputs, aux
 
 
@@ -680,6 +800,11 @@ def blocked_core(state: SlamState, obs_seq, valid_seq, pose_seq,
     ov_b = overflow.reshape(nb, B)
     closed0 = state.loop_closure_complete
     fidx = jnp.arange(B, dtype=jnp.int32)
+    # edges-as-ys: legal whenever nothing reads the edge arrays inside the
+    # scans (the periodic window GN does); the one consumer left — the
+    # top-level closure GN — sees the compacted arrays
+    emit = cfg.periodic_gn_every == 0 and "edges" not in ablate
+    n_obs0 = state.graph.n_obs
 
     # periodic GN (improved mode): one enable-gated optimize per block,
     # firing only when the keyframe-count boundary lands on the block's
@@ -720,7 +845,7 @@ def blocked_core(state: SlamState, obs_seq, valid_seq, pose_seq,
                & (jnp.abs(p[:, 1]) <= cfg.gps_outlier_bound) & active)
         ns, outs, aux = _mapping_block(st, o, v, p, okp, cfg, boot_ok=fv,
                                        overflow=ov, assoc_mesh=assoc_mesh,
-                                       ablate=ablate)
+                                       ablate=ablate, emit_edges=emit)
         fb = aux["fallback"] & active
         if cfg.periodic_gn_every > 0:
             fires = periodic_fires(st.keyframe_count, aux["ins"],
@@ -754,13 +879,44 @@ def blocked_core(state: SlamState, obs_seq, valid_seq, pose_seq,
         committed = active & ~fb
         # frames after the closure frame belong to scan-2
         m1 = committed & (~aux["closure_any"] | (fidx <= aux["kc_frame"]))
+        if emit:
+            ep, el, exy, ek = aux["edge_rows"]
+            erows = (ep, el, exy, ek & committed)
+        else:
+            erows = jnp.zeros((), jnp.int32)
         ys = (outs, m1, fb & active, aux["closure_any"] & committed,
-              aux["kc_frame"], aux["cur_series"], aux["n_lm_series"])
+              aux["kc_frame"], aux["cur_series"], aux["n_lm_series"], erows)
         return (st2, stopped | fb | (aux["closure_any"] & committed)), ys
 
-    (state, _), (outs1, m1, fb1, cls1, kcf1, cur1, nlm1) = jax.lax.scan(
-        body1, (state, closed0), (obs_b, valid_b, pose_b, fv_b, ov_b),
-        unroll=unroll)
+    (state, _), (outs1, m1, fb1, cls1, kcf1, cur1, nlm1, erows1) = \
+        jax.lax.scan(
+            body1, (state, closed0), (obs_b, valid_b, pose_b, fv_b, ov_b),
+            unroll=unroll)
+
+    if emit:
+        # ---- one global edge compaction per pass: the scan's native ys
+        # stacking laid the candidate rows out chronologically; kept-first
+        # stable argsort over the flattened axis reproduces the in-place
+        # path's content bit-exactly, appended after any pre-existing edges
+        ep1, el1, exy1, ek1 = erows1
+        tot = nb * (B * valid_c.shape[-1] + 1)
+        ekf = ek1.reshape(tot)
+        order = jnp.argsort(~ekf, stable=True)
+        cap_e = state.graph.obs_pose.shape[0]
+        K = min(cap_e, tot)
+        sel = order[:K]
+        nkeep = jnp.sum(ekf.astype(jnp.int32))
+        to = jnp.where(jnp.arange(K) < nkeep, n_obs0 + jnp.arange(K), cap_e)
+        ge = state.graph
+        ge = dataclasses.replace(
+            ge,
+            obs_pose=ge.obs_pose.at[to].set(ep1.reshape(tot)[sel],
+                                            mode="drop"),
+            obs_lm=ge.obs_lm.at[to].set(el1.reshape(tot)[sel], mode="drop"),
+            obs_xy=ge.obs_xy.at[to].set(exy1.reshape(tot, 2)[sel],
+                                        mode="drop"),
+        )
+        state = dataclasses.replace(state, graph=ge)
 
     closure_found = jnp.any(cls1)
     i_c = jnp.argmax(cls1).astype(jnp.int32)
@@ -884,6 +1040,20 @@ def _per_frame_completion(state: SlamState, obs_seq, valid_seq, pose_seq,
     return jax.lax.scan(step, state, (obs_seq, valid_seq, p_eff))
 
 
+def _pick_compact(valid_seq, default: int = 32) -> int:
+    """Data-driven observation-compaction width: the in-block pair
+    machinery is O((B*nc)^2), so halving nc is quadratic leverage
+    (measured 2.1x at the batched knee — scripts/exp_byte_budget.py). One
+    host readback of the max per-frame valid count picks the smallest safe
+    bucket; denser streams than the bucket would overflow and per-frame
+    fallback, so the pick is always sound, never just fast."""
+    nmax = int(jnp.max(jnp.sum(valid_seq, axis=-1)))
+    for nc in (16, 32, 64):
+        if nmax <= nc:
+            return min(nc, valid_seq.shape[-1])
+    return valid_seq.shape[-1]
+
+
 def _pad_inputs(obs_seq, valid_seq, pose_seq, cfg, B):
     T = obs_seq.shape[0]
     pad = (-T) % B
@@ -927,7 +1097,9 @@ def run_sequence_blocked(state: SlamState, obs_seq, valid_seq, pose_seq,
 
     state, outs, done_upto = blocked_core(state, obs_seq, valid_seq,
                                           pose_seq, cfg, block,
-                                          assoc_mesh=assoc_mesh)
+                                          assoc_mesh=assoc_mesh,
+                                          compact_obs=_pick_compact(
+                                              valid_seq))
     Tp = obs_seq.shape[0]
     if int(done_upto) < Tp:
         state, outs_net = _per_frame_completion(state, obs_seq, valid_seq,
@@ -949,9 +1121,10 @@ def run_pass_blocked(obs_seq, valid_seq, pose_seq, cfg: SlamConfig,
                                 assoc_mesh=assoc_mesh)
 
 
-@partial(jax.jit, static_argnames=("cfg", "block"))
+@partial(jax.jit, static_argnames=("cfg", "block", "compact_obs"))
 def blocked_core_batched(states: SlamState, obs_seq, valid_seq, pose_seq,
-                         cfg: SlamConfig, block: int = 8):
+                         cfg: SlamConfig, block: int = 8,
+                         compact_obs: int = 32):
     """`blocked_core` vmapped over a leading session axis [S].
 
     The blocked body is a straight-line program (no lax.cond anywhere), so
@@ -967,7 +1140,8 @@ def blocked_core_batched(states: SlamState, obs_seq, valid_seq, pose_seq,
     """
     return jax.vmap(
         lambda st, o, v, p: blocked_core.__wrapped__(st, o, v, p, cfg, block,
-                                                     vmap_safe_gn=True)
+                                                     vmap_safe_gn=True,
+                                                     compact_obs=compact_obs)
     )(states, obs_seq, valid_seq, pose_seq)
 
 
@@ -993,8 +1167,9 @@ def run_sequences_blocked_batched(states: SlamState, obs_seq, valid_seq,
             [valid_seq, jnp.zeros((S, pad) + valid_seq.shape[2:], bool)],
             axis=1)
         pose_seq = jnp.concatenate([pose_seq, far], axis=1)
-    states, outs, done = blocked_core_batched(states, obs_seq, valid_seq,
-                                              pose_seq, cfg, block)
+    states, outs, done = blocked_core_batched(
+        states, obs_seq, valid_seq, pose_seq, cfg, block,
+        compact_obs=_pick_compact(valid_seq))
     Tp = obs_seq.shape[1]
     done_h = [int(d) for d in done]
     if any(d < Tp for d in done_h):

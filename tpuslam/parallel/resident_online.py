@@ -233,7 +233,7 @@ def _mapping_block_resident(state: SlamState, lm_xy_l, lm_type_l, lm_info_l,
     is_new, use_ib, dup_same, rep_prev, rep_same, prev_any, matched_pf = \
         _inblock_duplicates(glob_k, otype_k, frame_of, cand, snap_match,
                             cost_snap if cfg.association != "first"
-                            else None, thresh2, gate, cfg)
+                            else None, thresh2, gate, cfg, N)
 
     new_rank = jnp.cumsum(is_new.astype(jnp.int32)) - is_new.astype(jnp.int32)
     slot_self = g.n_landmarks + new_rank
