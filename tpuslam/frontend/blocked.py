@@ -231,8 +231,16 @@ def _packet_series(lm_xy, lm_type, n_lm_after, cur_after, out_pose,
     return az, dist, lm_type[idx]
 
 
-DUP_PACKED = True   # module switch for the pair-machinery implementation
-# (A/B measured in scripts/exp_dup_impl.py; both are bit-identical)
+DUP_PACKED = False  # module switch for the pair-machinery implementation
+# (both bit-identical). MEASURED-AND-RETIRED (scripts/exp_dup_impl.py, v5e,
+# compact=16/32, single + S=16 batched): the packed form's 32x-smaller
+# fixpoint working set loses to its packing multiplies and per-row
+# first-bit gathers everywhere tested —
+#   naive  nc=16: 208.2k single / 594.8k S=16;  nc=32: 169.4k / 331.7k
+#   packed nc=16: 181.0k single / 489.6k S=16;  nc=32: 151.5k / 284.9k
+# The naive [BN, BN] masks fuse into their reductions at these sizes; the
+# packed path would only pay off when BN grows far past ~1k (revisit if
+# max_obs_per_frame or block sizes grow an order of magnitude).
 
 
 def _inblock_duplicates_naive(glob_k, otype_k, frame_of, cand, snap_match,

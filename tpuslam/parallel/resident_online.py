@@ -929,7 +929,8 @@ def run_pass_resident_online(obs_seq, valid_seq, pose_seq, cfg: SlamConfig,
     Returns (state: SlamState with the GATHERED map folded back in,
     outputs [T]) — same contract as `frontend.blocked.run_pass_blocked`.
     """
-    from tpuslam.frontend.blocked import _pad_inputs, _per_frame_completion
+    from tpuslam.frontend.blocked import (_pad_inputs, _per_frame_completion,
+                                          _pick_compact)
     if not resident_online_supported(cfg, block):
         raise ValueError(
             "run_pass_resident_online: unsupported config (needs the "
@@ -949,7 +950,7 @@ def run_pass_resident_online(obs_seq, valid_seq, pose_seq, cfg: SlamConfig,
     lm_xy, lm_type, lm_info = initial_shards(L_glob)
     state, lm_xy, lm_type, lm_info, outs, done_upto = resident_online_core(
         state, lm_xy, lm_type, lm_info, obs_p, valid_p, pose_p, cfg, mesh,
-        block, axis)
+        block, axis, compact_obs=_pick_compact(valid_p))
     # fold the (gathered) map back into the dense state for callers
     Lc = cfg.capacity.max_landmarks
     state = dataclasses.replace(
