@@ -596,14 +596,13 @@ def main():
 
     _section(extras, "improved_fast", improved_fast_section)
 
-    # improved (FULL): GPS priors + periodic fixed-lag GN (map + trailing
-    # poses refined every 16 keyframes at block=16 — boundaries land on
-    # block ends; bit-exact vs run_sequence on the same config). The r2
-    # pathology (full-batch GN inside the scan body, 24x slowdown) is gone:
-    # gn.optimize_window is straight-line and scan-safe. The every=8/B=8
-    # variant (per-frame improved default; full ATE parity 0.1572) is
-    # reported alongside — the every=16 cadence trades ~6 mm online ATE for
-    # ~4x throughput.
+    # improved (FULL, the r4 default): GPS priors + periodic fixed-lag GN
+    # every 16 keyframes at block=16 + per-frame published-pose MAP
+    # refinement (mapping_publish_refine — accuracy decoupled from the
+    # refresh cadence; blocked matches run_sequence to f32 solve
+    # tolerance). The every=8/B=8 variant is reported alongside: with the
+    # publish refine it is an ACCURACY upgrade (more frequent map refresh),
+    # no longer the default's prerequisite.
     def improved_full_section():
         out = {}
         for tag, every, blk, primary in (("", 16, 16, True),

@@ -131,8 +131,11 @@ def test_blocked_periodic_gn_matches_run_sequence(block):
     enable-gated GN fires there, and results match the per-frame path
     (VERDICT round-1 weak #4)."""
     obs, valid, poses, cap = _scenario(trackdrive, seed=11)
-    cfg = SlamConfig.improved(capacity=cap)
-    assert cfg.periodic_gn_every == 8
+    # pinned to the r3 preset (every-8, graph publish): this test's contract
+    # is BIT-exactness of the in-scan periodic firing; the r4 default's
+    # publication refine has its own f32-tolerance test
+    cfg = SlamConfig.improved(capacity=cap, periodic_gn_every=8,
+                              mapping_publish_refine=False)
     s1, o1 = run_sequence(initial_state(cap), obs, valid, poses, cfg)
     s2, o2 = run_sequence_blocked(initial_state(cap), obs, valid, poses,
                                   cfg, block=block)
@@ -146,7 +149,11 @@ def test_blocked_periodic_full_batch_gn_matches_run_sequence():
     bit-exactly — the improved default moved to fixed-lag refinement
     (gn.optimize_window) but the full re-optimize stays supported."""
     obs, valid, poses, cap = _scenario(trackdrive, seed=11)
-    cfg = SlamConfig.improved(capacity=cap, periodic_gn_window=0)
+    # publication refine off: this test's contract is BIT-exactness of the
+    # full-batch periodic solve (the refine's vmapped 3x3 solves lower
+    # differently and have their own f32-tolerance test)
+    cfg = SlamConfig.improved(capacity=cap, periodic_gn_window=0,
+                              mapping_publish_refine=False)
     s1, o1 = run_sequence(initial_state(cap), obs, valid, poses, cfg)
     s2, o2 = run_sequence_blocked(initial_state(cap), obs, valid, poses,
                                   cfg, block=8)
@@ -215,7 +222,13 @@ def test_blocked_improved_full_matches_run_sequence():
     assert abs(n1 - n2) <= 2, (n1, n2)
     d = np.linalg.norm(np.asarray(o1.pose)[:, :2] - np.asarray(o2.pose)[:, :2],
                        axis=1)
-    assert float(np.max(d)) < 0.05, float(np.max(d))
+    # the mahalanobis gate lags by up to block-1 frames (module contract);
+    # with the r4 publication refine a lag-flipped match moves the
+    # PUBLISHED pose directly, so a few early frames (information still
+    # accumulating) differ by up to ~9 cm instead of the graph-publish
+    # path's ~2 cm — bounded, early-only, far under the ATE scale
+    assert float(np.max(d)) < 0.12, float(np.max(d))
+    assert float(np.mean(d)) < 0.03, float(np.mean(d))
 
 
 def test_blocked_edge_capacity_saturation_falls_back():
@@ -415,3 +428,36 @@ def test_blocked_pallas_mahalanobis_contract():
     d = np.linalg.norm(np.asarray(o1.pose)[:, :2]
                        - np.asarray(o2.pose)[:, :2], axis=1)
     assert float(np.max(d)) < 0.05, float(np.max(d))
+
+
+def test_blocked_publish_refine_matches_run_sequence():
+    """mapping_publish_refine (r4, the improved default): published poses
+    are per-frame MAP refines — blocked vs per-frame must agree to f32
+    solve tolerance (the batched 3x3 solves lower differently from the
+    singles), with the closure frame patched post-GN, and the DECISION
+    state (map, edges, counters) still bit-exact."""
+    obs, valid, poses, cap = _scenario(trackdrive, seed=11)
+    cfg = SlamConfig.improved(capacity=cap)
+    assert cfg.mapping_publish_refine
+    s1, o1 = run_sequence(initial_state(cap), obs, valid, poses, cfg)
+    s2, o2 = run_sequence_blocked(initial_state(cap), obs, valid, poses,
+                                  cfg, block=16)
+    assert bool(s1.loop_closure_complete) and bool(s2.loop_closure_complete)
+    _assert_state_equal(s1, s2, "publish_refine state")
+    np.testing.assert_allclose(np.asarray(o1.pose), np.asarray(o2.pose),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(o1.cone_azimuth),
+                               np.asarray(o2.cone_azimuth), atol=1e-2)
+    # the refine is publication-only and must beat the graph-publish mode
+    from tpuslam.sim import SimConfig, simulate
+    from tpuslam.sim.simulator import ate
+    scen = simulate(trackdrive(seed=11),
+                    SimConfig(laps=1.4, keyframe_dt=0.1, speed=8.0,
+                              max_range=20.0, seed=12))
+    T = len(scen.times)
+    a_on = ate(np.asarray(o2.pose)[:T, :2], scen.gt_poses[:T, :2])
+    cfg_off = cfg.with_(mapping_publish_refine=False)
+    _s3, o3 = run_sequence_blocked(initial_state(cap), obs, valid, poses,
+                                   cfg_off, block=16)
+    a_off = ate(np.asarray(o3.pose)[:T, :2], scen.gt_poses[:T, :2])
+    assert float(a_on) < float(a_off), (float(a_on), float(a_off))

@@ -620,14 +620,29 @@ def _mapping_block(state: SlamState, obs, valid, poses, okp,
     cur_after = _last_valid_inclusive(state.current_cone_index,
                                       jnp.min(vals_cur, axis=1) < 100.0, fsel)
 
+    out_pose = poses
+    if cfg.mapping_publish_refine:
+        # published-pose MAP refine (see keyframe._publish_refine);
+        # target_xy rows are the committed landmark positions for exactly
+        # the rows `matched` weights. vmapped across the block (the batched
+        # 3x3 solves lower differently from the per-frame singles — the
+        # flag's cross-path contract is f32-solve tolerance, not bit
+        # equality; tests/test_blocked_equivalence.py::...publish_refine)
+        from tpuslam.frontend.keyframe import _publish_refine
+        ref = jax.vmap(
+            lambda p, l, mm, z: _publish_refine(p, l, mm, z, cfg))(
+            poses, target_xy.reshape(B, N, 2), matched.reshape(B, N),
+            body_k.reshape(B, N, 2))
+        ready = pose_idx_f >= cfg.periodic_gn_every   # first refresh ran
+        out_pose = jnp.where(ready[:, None], ref, poses)
     if "packet" in ablate:
         az = dist = jnp.zeros((B, cfg.cones_per_packet))
         ctype = jnp.zeros((B, cfg.cones_per_packet), jnp.int32)
     else:
         az, dist, ctype = _packet_series(g.lm_xy, g.lm_type, n_lm_after,
-                                         cur_after, poses, cfg)
+                                         cur_after, out_pose, cfg)
     outputs = KeyframeOutputs(
-        pose=poses, cone_azimuth=az, cone_distance=dist, cone_type=ctype,
+        pose=out_pose, cone_azimuth=az, cone_distance=dist, cone_type=ctype,
         send=jnp.zeros((B,), bool),
         loop_closed=closure_any & (fidx == kc_frame),
         n_landmarks=n_lm_after.astype(jnp.int32),
@@ -650,7 +665,9 @@ def _mapping_block(state: SlamState, obs, valid, poses, okp,
         fallback = fallback | jnp.any(overflow & okp)
     aux = dict(closure_any=closure_any, kc_frame=kc_frame, fallback=fallback,
                cur_series=cur_after, n_lm_series=n_lm_after, ins=ins,
-               edge_rows=edge_rows)
+               edge_rows=edge_rows,
+               pub_rows=((target_f, matched.reshape(B, N))
+                         if cfg.mapping_publish_refine else None))
     return new_state, outputs, aux
 
 
@@ -874,9 +891,10 @@ def blocked_core(state: SlamState, obs_seq, valid_seq, pose_seq,
             else:
                 g2 = gn.optimize(ns.graph, pcfg, enable=do_p)
             ns = dataclasses.replace(ns, graph=g2)
-            if cfg.use_gps_prior:
+            if cfg.use_gps_prior and not cfg.mapping_publish_refine:
                 # the firing frame publishes its post-GN graph estimate
-                # (perform_keyframe's use_graph path)
+                # (perform_keyframe's use_graph path); under publish-refine
+                # the per-frame MAP estimate owns publication everywhere
                 pl = g2.poses[jnp.maximum(g2.n_poses - 1, 0)]
                 outs = dataclasses.replace(
                     outs, pose=outs.pose.at[-1].set(
@@ -892,11 +910,14 @@ def blocked_core(state: SlamState, obs_seq, valid_seq, pose_seq,
             erows = (ep, el, exy, ek & committed)
         else:
             erows = jnp.zeros((), jnp.int32)
+        prows = aux["pub_rows"] if cfg.mapping_publish_refine \
+            else jnp.zeros((), jnp.int32)
         ys = (outs, m1, fb & active, aux["closure_any"] & committed,
-              aux["kc_frame"], aux["cur_series"], aux["n_lm_series"], erows)
+              aux["kc_frame"], aux["cur_series"], aux["n_lm_series"], erows,
+              prows)
         return (st2, stopped | fb | (aux["closure_any"] & committed)), ys
 
-    (state, _), (outs1, m1, fb1, cls1, kcf1, cur1, nlm1, erows1) = \
+    (state, _), (outs1, m1, fb1, cls1, kcf1, cur1, nlm1, erows1, prows1) = \
         jax.lax.scan(
             body1, (state, closed0), (obs_b, valid_b, pose_b, fv_b, ov_b),
             unroll=unroll)
@@ -954,10 +975,28 @@ def blocked_core(state: SlamState, obs_seq, valid_seq, pose_seq,
     # closure frame itself publishes the raw pose, and every earlier
     # mapping frame's graph estimate equals its input (no GN has run).
     t_kc = jnp.clip(kc_global, 0, Tp - 1)
-    cur_kc = cur1[i_c, jnp.clip(kcf1[i_c], 0, B - 1)]
-    nlm_kc = nlm1[i_c, jnp.clip(kcf1[i_c], 0, B - 1)]
+    kc_local = jnp.clip(kcf1[i_c], 0, B - 1)
+    cur_kc = cur1[i_c, kc_local]
+    nlm_kc = nlm1[i_c, kc_local]
+    pose_pub_kc = pose_seq[t_kc]
+    if cfg.mapping_publish_refine:
+        # the per-frame path refines the closure frame's published pose
+        # against the POST-closure-GN map (its in-step GN runs before the
+        # publish); the blocked path hoists that GN, so re-run the refine
+        # here with the optimized landmark rows
+        from tpuslam.frontend.keyframe import _publish_refine
+        tgt_kc = prows1[0][i_c, kc_local]            # [N] global lm ids
+        mat_kc = prows1[1][i_c, kc_local]            # [N]
+        body_kc = _body_xy(obs_c[t_kc], cfg)
+        pub_kc = _publish_refine(pose_pub_kc, g.lm_xy[tgt_kc], mat_kc,
+                                 body_kc, cfg)
+        pose_pub_kc = jnp.where(closure_found, pub_kc, pose_pub_kc)
+        outs1 = dataclasses.replace(
+            outs1, pose=outs1.pose.at[i_c, kc_local].set(
+                jnp.where(closure_found, pose_pub_kc,
+                          outs1.pose[i_c, kc_local])))
     azk, dk, tk = _packet_series(g.lm_xy, g.lm_type, nlm_kc[None],
-                                 cur_kc[None], pose_seq[t_kc][None], cfg)
+                                 cur_kc[None], pose_pub_kc[None], cfg)
     outs1 = jax.tree.map(lambda x: x.reshape((Tp,) + x.shape[2:]), outs1)
     pk = closure_found
     outs1 = dataclasses.replace(

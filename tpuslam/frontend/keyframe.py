@@ -421,11 +421,24 @@ def _mapping_step_vectorized(state: SlamState, obs, obs_valid, pose, pose_idx,
         idx = jnp.where(contributes, target, cap_l)
         lm_info = lm_info.at[idx].add(info_obs, mode="drop")
 
+    pub_pose = pose
+    if cfg.mapping_publish_refine:
+        # published-pose MAP refine against the committed landmark rows
+        # (matched rows only carry weight; creations would contribute
+        # exactly-zero residuals). g.lm_xy[j] post-write equals the blocked
+        # path's target_xy for the same rows. Gated until the FIRST periodic
+        # refresh has run: refining against a never-optimized (odometry-
+        # drifted) map measures worse than the raw publish (MIGRATION r4).
+        ready = pose_idx >= cfg.periodic_gn_every
+        ref = _publish_refine(pose, g.lm_xy[jnp.where(matched, j, 0)],
+                              matched, body_all, cfg)
+        pub_pose = jnp.where(ready, ref, pose)
+
     return dataclasses.replace(
         state, graph=g, current_cone_index=cur, loop_closing=closing,
         loop_closure_complete=state.loop_closure_complete | closing,
         lm_info_xy=lm_info,
-    ), do_opt
+    ), do_opt, pub_pose
 
 
 def _mapping_step(state: SlamState, obs, obs_valid, pose, pose_idx,
@@ -503,6 +516,41 @@ def _pose_refine(pose, g: G.FactorGraph, idx, matched, meas_xy, iters=3):
     """Pose-only GN against the frozen map (improvement over the reference,
     whose localization-mode optimize is disabled — src/slam.cpp:403)."""
     return _pose_refine_rows(pose, g.lm_xy[idx], matched, meas_xy, iters)
+
+
+def _publish_refine(pose_meas, lm, matched, meas_xy, cfg: SlamConfig,
+                    iters=3):
+    """MAP estimate of the PUBLISHED pose (cfg.mapping_publish_refine):
+    landmark-fixed GN over this frame's matched cone measurements plus the
+    GPS/heading prior anchored at the measured pose. Output-only — graph
+    state never sees it. The prior keeps the 3x3 system nonsingular, so no
+    match-count branch is needed (zero matches = the measured pose back,
+    exactly). This is what breaks the accuracy/cadence coupling: the
+    periodic window GN refreshes the MAP on its own schedule while every
+    frame's published pose is refined against it (r4; the alternative —
+    firing the window GN every 8 frames — costs 4x throughput for the same
+    online ATE mechanism, scripts/exp_every8.py)."""
+    from tpuslam.backend.residuals import landmark_residuals
+    dtype = pose_meas.dtype
+    w = matched.astype(dtype) * jnp.asarray(cfg.publish_refine_obs_info,
+                                            dtype)
+    ixy = 1.0 / cfg.gps_prior_std ** 2
+    ith = 1.0 / cfg.heading_prior_std ** 2
+    prior_d = jnp.asarray([ixy, ixy, ith], dtype)
+
+    def step(_, p):
+        with jax.default_matmul_precision("highest"):
+            pb = jnp.broadcast_to(p, lm.shape[:1] + (3,))
+            r, j_p, _ = landmark_residuals(pb, lm, meas_xy)
+            h = jnp.einsum("e,eki,ekj->ij", w, j_p, j_p) + jnp.diag(prior_d)
+            dp = p - pose_meas
+            dp = dp.at[2].set(se2.wrap_angle(dp[2]))
+            b = jnp.einsum("e,eki,ek->i", w, j_p, r) + prior_d * dp
+            delta = jnp.linalg.solve(h, -b)
+        newp = p + delta
+        return newp.at[2].set(se2.wrap_angle(newp[2]))
+
+    return jax.lax.fori_loop(0, iters, step, pose_meas)
 
 
 def _pose_refine_rows(pose, lm, matched, meas_xy, iters=3):
@@ -630,13 +678,18 @@ def perform_keyframe(state: SlamState, obs, obs_valid, pose, cfg: SlamConfig,
 
         def mapping(state):
             if cfg.vectorized_mapping:
-                st, closed = _mapping_step_vectorized(
+                st, closed, pub = _mapping_step_vectorized(
                     state, obs, obs_valid, pose, pose_idx, cfg, defer_gn,
                     pre, indexed)
             else:
+                if cfg.mapping_publish_refine:
+                    raise ValueError("mapping_publish_refine requires "
+                                     "vectorized_mapping=True")
                 st, closed = _mapping_step(state, obs, obs_valid, pose,
                                            pose_idx, cfg, defer_gn)
-            return st, pose, closed, jnp.asarray(False)
+                pub = pose
+            out = pub if cfg.mapping_publish_refine else pose
+            return st, out, closed, jnp.asarray(False)
 
         def localization(state):
             # reference requires >1 cones for a localization update
@@ -675,10 +728,12 @@ def perform_keyframe(state: SlamState, obs, obs_valid, pose, cfg: SlamConfig,
             else:
                 new_g = gn.optimize(state.graph, periodic_cfg, enable=do)
                 state = dataclasses.replace(state, graph=new_g)
-        if cfg.use_gps_prior:
+        if cfg.use_gps_prior and not cfg.mapping_publish_refine:
             # mapping mode: publish the graph's latest pose (refreshed by the
             # periodic GN) instead of raw odometry. Localization mode keeps
-            # the localizer-refined pose, which is strictly better.
+            # the localizer-refined pose, which is strictly better. With
+            # mapping_publish_refine the per-frame MAP refine already owns
+            # the mapping-mode publication.
             use_graph = ~state.loop_closure_complete & (state.graph.n_landmarks > 4)
             out_pose = jnp.where(use_graph, state.graph.poses[pose_idx], out_pose)
         return state, out_pose, closed, send, wants_periodic

@@ -54,8 +54,12 @@ def run_sequences_batched(states: SlamState, obs_seq, valid_seq, pose_seq,
     their loops at different frames, so this costs one *unbatched* GN per
     actual closure instead of an S-wide vmapped GN per closure frame. Net
     effect: closure GN is applied after that frame's outputs instead of
-    within it (next frame onward sees the optimized map; published
-    trajectories are unchanged on these tracks).
+    within it (next frame onward sees the optimized map). Published
+    trajectories are unchanged on these tracks — EXCEPT, under
+    cfg.mapping_publish_refine, the closure frame itself: its published
+    refine ran against the pre-closure-GN map (the sequential path refines
+    post-GN), a one-frame ~0.1 m deviation
+    (tests/test_parallel.py::test_batched_sessions_improved_windowed_gn).
     """
     from tpuslam.backend import gauss_newton as gn
     from tpuslam.frontend.keyframe import _gn_config

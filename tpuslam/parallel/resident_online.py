@@ -323,10 +323,23 @@ def _mapping_block_resident(state: SlamState, lm_xy_l, lm_type_l, lm_info_l,
     fsel = target_f[jnp.arange(B), jnp.argmin(vals_cur, axis=1)]
     cur_after = _last_valid_inclusive(state.current_cone_index,
                                       jnp.min(vals_cur, axis=1) < 100.0, fsel)
+    out_pose = poses
+    if cfg.mapping_publish_refine:
+        # published-pose MAP refine (keyframe._publish_refine) — target_xy
+        # was already assembled from the shards, so the refine itself is
+        # shard-free replicated compute
+        from tpuslam.frontend.keyframe import _publish_refine
+        ref = jax.vmap(
+            lambda p, l, mm, z: _publish_refine(p, l, mm, z, cfg))(
+            poses, target_xy.reshape(B, N, 2), matched.reshape(B, N),
+            body_k.reshape(B, N, 2))
+        ready = pose_idx_f >= cfg.periodic_gn_every   # first refresh ran
+        out_pose = jnp.where(ready[:, None], ref, poses)
     az, dist, ctype = _packet_series_resident(
-        lm_xy_l, lm_type_l, base, Lb, axis, n_lm_after, cur_after, poses, cfg)
+        lm_xy_l, lm_type_l, base, Lb, axis, n_lm_after, cur_after, out_pose,
+        cfg)
     outputs = KeyframeOutputs(
-        pose=poses, cone_azimuth=az, cone_distance=dist, cone_type=ctype,
+        pose=out_pose, cone_azimuth=az, cone_distance=dist, cone_type=ctype,
         send=jnp.zeros((B,), bool),
         loop_closed=closure_any & (fidx == kc_frame),
         n_landmarks=n_lm_after.astype(jnp.int32),
@@ -347,7 +360,9 @@ def _mapping_block_resident(state: SlamState, lm_xy_l, lm_type_l, lm_info_l,
     if overflow is not None:
         fallback = fallback | jnp.any(overflow & okp)
     aux = dict(closure_any=closure_any, kc_frame=kc_frame, fallback=fallback,
-               cur_series=cur_after, n_lm_series=n_lm_after, ins=ins)
+               cur_series=cur_after, n_lm_series=n_lm_after, ins=ins,
+               pub_rows=((target_f, matched.reshape(B, N))
+                         if cfg.mapping_publish_refine else None))
     return new_state, lm_xy_l, lm_type_l, lm_info_l, outputs, aux
 
 
@@ -764,7 +779,7 @@ def _pass_body(state: SlamState, lm_xy_l, lm_type_l, lm_info_l,
                 ns.graph, lmx2, pcfg, cfg.periodic_gn_window,
                 cfg.periodic_gn_edge_window, base, axis, enable=do_p)
             ns = dataclasses.replace(ns, graph=g2)
-            if cfg.use_gps_prior:
+            if cfg.use_gps_prior and not cfg.mapping_publish_refine:
                 pl = g2.poses[jnp.maximum(g2.n_poses - 1, 0)]
                 outs = dataclasses.replace(
                     outs, pose=outs.pose.at[-1].set(
@@ -779,13 +794,15 @@ def _pass_body(state: SlamState, lm_xy_l, lm_type_l, lm_info_l,
         lmi2 = jnp.where(fb, lmi, lmi2)
         committed = active & ~fb
         m1 = committed & (~aux["closure_any"] | (fidx <= aux["kc_frame"]))
+        prows = aux["pub_rows"] if cfg.mapping_publish_refine \
+            else jnp.zeros((), jnp.int32)
         ys = (outs, m1, fb & active, aux["closure_any"] & committed,
-              aux["kc_frame"], aux["cur_series"], aux["n_lm_series"])
+              aux["kc_frame"], aux["cur_series"], aux["n_lm_series"], prows)
         return (st2, lmx2, lmt2, lmi2,
                 stopped | fb | (aux["closure_any"] & committed)), ys
 
     (state, lm_xy_l, lm_type_l, lm_info_l, _), \
-        (outs1, m1, fb1, cls1, kcf1, cur1, nlm1) = jax.lax.scan(
+        (outs1, m1, fb1, cls1, kcf1, cur1, nlm1, prows1) = jax.lax.scan(
             body1, (state, lm_xy_l, lm_type_l, lm_info_l, closed0),
             (obs_b, valid_b, pose_b, fv_b, ov_b))
 
@@ -803,9 +820,25 @@ def _pass_body(state: SlamState, lm_xy_l, lm_type_l, lm_info_l,
 
     # patch the closure frame's cone packet to the post-GN map
     t_kc = jnp.clip(kc_global, 0, Tp - 1)
-    cur_kc = cur1[i_c, jnp.clip(kcf1[i_c], 0, B - 1)]
-    nlm_kc = nlm1[i_c, jnp.clip(kcf1[i_c], 0, B - 1)]
+    kc_local = jnp.clip(kcf1[i_c], 0, B - 1)
+    cur_kc = cur1[i_c, kc_local]
+    nlm_kc = nlm1[i_c, kc_local]
     pose_kc = pose_b.reshape(Tp, 3)[t_kc]
+    if cfg.mapping_publish_refine:
+        # re-run the closure frame's publish refine against the POST-GN
+        # shards (mirrors frontend.blocked's patch; rows gathered globally)
+        from tpuslam.frontend.keyframe import _publish_refine
+        tgt_kc = prows1[0][i_c, kc_local]
+        mat_kc = prows1[1][i_c, kc_local]
+        (rows_kc,) = _gather_lm(tgt_kc, base, Lb, axis, lm_xy_l)
+        obs_kc = obs_b.reshape(Tp, *obs_b.shape[2:])[t_kc]
+        pub_kc = _publish_refine(pose_kc, rows_kc, mat_kc,
+                                 _body_xy(obs_kc, cfg), cfg)
+        pose_kc = jnp.where(closure_found, pub_kc, pose_kc)
+        outs1 = dataclasses.replace(
+            outs1, pose=outs1.pose.at[i_c, kc_local].set(
+                jnp.where(closure_found, pose_kc,
+                          outs1.pose[i_c, kc_local])))
     azk, dk, tk = _packet_series_resident(
         lm_xy_l, lm_type_l, base, Lb, axis, nlm_kc[None], cur_kc[None],
         pose_kc[None], cfg)

@@ -56,10 +56,18 @@ class SlamConfig:
                                           # 0 = full-batch periodic GN. The
                                           # closure optimization is always
                                           # full-batch.
-    periodic_gn_edge_window: int = 2048   # trailing landmark-edge slice the
+    periodic_gn_edge_window: int = 1024   # trailing landmark-edge slice the
                                           # fixed-lag refinement considers
                                           # (completeness knob — see
-                                          # gn.window_gn_step)
+                                          # gn.window_gn_step). The firing
+                                          # cost is dominated by the
+                                          # [W, EW] x [EW, L] coupling
+                                          # contractions, so EW sizes the
+                                          # solve: 1024 covers a 64-pose
+                                          # window at ~9 obs/frame (~600
+                                          # in-window edges) with ~70%
+                                          # slack at half the 2048 cost
+                                          # (scripts/exp_every8.py)
     periodic_gn_window_landmarks: bool = True
                                           # fixed-lag refinement also updates
                                           # the map (landmarks anchored by
@@ -73,6 +81,28 @@ class SlamConfig:
                                           # 1/(range * sigma_az_rad)^2
     vectorized_mapping: bool = True       # batched mapping step (same semantics,
                                           # ~10x faster; False = lax.scan form)
+    mapping_publish_refine: bool = False  # improvement: the PUBLISHED pose in
+                                          # mapping mode is a per-frame MAP
+                                          # estimate (landmark-fixed 3x3 GN
+                                          # over the frame's matched cones +
+                                          # the GPS/heading prior) instead of
+                                          # the raw/graph estimate. Decouples
+                                          # online accuracy from the periodic
+                                          # GN cadence: every frame publishes
+                                          # a refined pose, the map refresh
+                                          # stays on its own schedule. State
+                                          # and the map are untouched.
+                                          # Requires vectorized_mapping.
+    publish_refine_obs_info: float = 25.0 # per-cone weight of the publish
+                                          # refine vs the GPS/heading prior.
+                                          # Deliberately BELOW lm_info (100):
+                                          # the map itself drifts between
+                                          # refreshes, so the output filter
+                                          # trusts it less than the solver
+                                          # does. Swept 4/10/25/100 on long
+                                          # + short trackdrive: 25 is best
+                                          # on both (0.111/0.122 m vs
+                                          # 0.123/0.138 at 100)
     use_pallas_association: bool = False  # route association through the
                                           # tiled Pallas kernel
                                           # (ops/pallas_assoc.py) instead of
@@ -117,13 +147,25 @@ class SlamConfig:
         """The beats-the-reference configuration: nearest-neighbor
         association, absolute GPS/heading priors instead of gauge clamping,
         calibrated information weights, localization refinement, periodic
-        re-optimization. On the trackdrive benchmark: ~33% lower final ATE
-        and ~15x lower map error than the reference pipeline."""
+        fixed-lag re-optimization, and per-frame published-pose MAP
+        refinement. On the trackdrive benchmark: ~33% lower final ATE and
+        ~15x lower map error than the reference pipeline; online ATE
+        0.111 m at the every-16 refresh (r4 — the old every-8 default
+        measured 0.157 m at ~4x the cost; publication refinement decoupled
+        online accuracy from the refresh cadence, see MIGRATION.md)."""
         base = dict(reference_compat=False, association="nearest",
                     localizer_type_bug=False, localizer_refine=True,
                     use_gps_prior=True, lm_info=100.0, odo_info=1.0,
-                    periodic_gn_every=8, periodic_gn_window=64)
+                    periodic_gn_every=16, periodic_gn_window=64,
+                    mapping_publish_refine=True)
         base.update(kw)
+        if base["periodic_gn_every"] == 0 and \
+                "mapping_publish_refine" not in kw:
+            # publication refinement needs a periodically REFRESHED map;
+            # against a never-optimized (odometry-drifted) map it measures
+            # WORSE than the raw publish (0.210 vs 0.168 m trackdrive) —
+            # auto-off unless the caller asks explicitly
+            base["mapping_publish_refine"] = False
         return cls(**base)
 
     @classmethod
