@@ -269,6 +269,11 @@ def main():
                                     bool)], 1)
             poses_b = jnp.concatenate([poses_b, far], 1)
 
+        # compaction width picked HOST-SIDE, before any trace: inside the
+        # jit below even ops on the closed-over concrete array would be
+        # staged as tracers, and _pick_compact's int() readback would throw
+        compact_b = BL._pick_compact(valid_b)
+
         def make_runner(s):
             if s <= n_sess:
                 o, v, p = obs_b[:s], valid_b[:s], poses_b[:s]
@@ -285,7 +290,7 @@ def main():
                         sts = initial_states(cap_b, s)
                         sts, _o2, done = BL.blocked_core_batched.__wrapped__(
                             sts, o, v, p, cfg_b, 32,
-                            compact_obs=BL._pick_compact(valid_b))
+                            compact_obs=compact_b)
                         return (), sts.graph.n_poses[0] + jnp.min(done)
                     _, ys = jax.lax.scan(one, (), None, length=k)
                     return ys

@@ -461,3 +461,41 @@ def test_blocked_publish_refine_matches_run_sequence():
                                    cfg_off, block=16)
     a_off = ate(np.asarray(o3.pose)[:T, :2], scen.gt_poses[:T, :2])
     assert float(a_on) < float(a_off), (float(a_on), float(a_off))
+
+
+def test_pick_compact_is_host_only_and_hoistable():
+    """Regression (r4): `_pick_compact` called INSIDE a jit trace staged
+    its readback as a tracer (even on a closed-over concrete array, jnp
+    ops lift to the live trace) and crashed the bench's batched sweep with
+    a ConcretizationTypeError. It must now (a) raise a clear TypeError
+    under a trace, and (b) the bench pattern — hoist the pick, close over
+    the static int inside jit+scan around `blocked_core_batched` — must
+    trace and run."""
+    from tpuslam.frontend import blocked as BL
+    from tpuslam.parallel.batch import initial_states
+
+    obs, valid, poses, cap = _scenario(trackdrive, seed=11)
+    T = 32
+    obs_b = jnp.stack([obs[:T]] * 2)
+    valid_b = jnp.stack([valid[:T]] * 2)
+    poses_b = jnp.stack([poses[:T]] * 2)
+    cfg = SlamConfig(capacity=cap)
+
+    with pytest.raises(TypeError, match="concrete valid mask"):
+        jax.jit(BL._pick_compact)(valid_b)
+
+    compact = BL._pick_compact(valid_b)
+    assert compact in (16, 32, 64, valid_b.shape[-1])
+
+    @jax.jit
+    def run():
+        def one(_, __):
+            sts = initial_states(cap, 2)
+            sts, _o, done = BL.blocked_core_batched.__wrapped__(
+                sts, obs_b, valid_b, poses_b, cfg, 32, compact_obs=compact)
+            return (), sts.graph.n_poses[0] + jnp.min(done)
+        _, ys = jax.lax.scan(one, (), None, length=2)
+        return ys
+
+    ys = np.asarray(run())
+    assert ys.shape == (2,) and (ys > 0).all()

@@ -1093,8 +1093,17 @@ def _pick_compact(valid_seq, default: int = 32) -> int:
     (measured 2.1x at the batched knee — scripts/exp_byte_budget.py). One
     host readback of the max per-frame valid count picks the smallest safe
     bucket; denser streams than the bucket would overflow and per-frame
-    fallback, so the pick is always sound, never just fast."""
-    nmax = int(jnp.max(jnp.sum(valid_seq, axis=-1)))
+    fallback, so the pick is always sound, never just fast.
+
+    Host-only: must run OUTSIDE any jit/scan trace (inside one, even ops
+    on closed-over concrete arrays are staged as tracers and the readback
+    cannot concretize) — hoist the call and pass the int through."""
+    nmax_arr = jnp.max(jnp.sum(valid_seq, axis=-1))
+    if isinstance(nmax_arr, jax.core.Tracer):
+        raise TypeError(
+            "_pick_compact needs a concrete valid mask — call it host-side "
+            "before tracing and pass compact_obs as a static int")
+    nmax = int(nmax_arr)
     for nc in (16, 32, 64):
         if nmax <= nc:
             return min(nc, valid_seq.shape[-1])
