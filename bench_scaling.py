@@ -75,6 +75,12 @@ def main():
                          "running this script with --platform tpu on the "
                          "chip (reported as chain_t1_comp_s) and feed it "
                          "back here on the virtual-mesh run")
+    ap.add_argument("--online-lap-s", type=float, default=None,
+                    help="REAL-chip single-device lap time (s) of the "
+                         "blocked online pass (frames/primary fps from "
+                         "bench.py) to drive the online-frontend tier's "
+                         "weak-scaling predictions; defaults to this "
+                         "mesh's measured S=1 fleet lap (labeled)")
     args = ap.parse_args()
     import jax
     if args.platform:
@@ -351,6 +357,90 @@ def main():
         except Exception as e:  # noqa: BLE001
             inst["error"] = repr(e)[:160]
 
+        # --- online resident-map FRONTEND tier (r4, the last uncovered
+        # tier of VERDICT r3 next #7): no analytic shape formula — the
+        # whole pass's per-device collective payload is instrumented at
+        # D = 2/4/8 and is exactly D-invariant (association shard-local,
+        # winners are [BN] pmins, solves psum capacity-sized reduced
+        # systems), so the measured per-lap bytes feed the weak-scaling
+        # prediction directly (map grows with D at fixed shard width).
+        online = {}
+        try:
+            from tpuslam.frontend.blocked import _pad_inputs, _pick_compact
+            from tpuslam.frontend.state import initial_state
+            from tpuslam.parallel import resident_online as RO
+            from tpuslam.parallel.comm_model import (
+                online_comm_time, predict_efficiency_weak_online)
+            o_p, v_p, p_p, _ = _pad_inputs(ob[0], vb[0], pb[0], scfg, 16)
+            cmp_o = _pick_compact(v_p)
+            per_d = {}
+            for d in (2, 4, 8):
+                if n_dev % d or scap.max_landmarks % d:
+                    continue
+                mo = jax.make_mesh((d,), ("map",))
+                shards = RO.initial_shards(scap.max_landmarks)
+                me = collective_payload_bytes(
+                    lambda s_, lx, lt, li: RO.resident_online_core(
+                        s_, lx, lt, li, o_p, v_p, p_p, scfg, mo, 16,
+                        "map", cmp_o),
+                    initial_state(scap), *shards)
+                per_d[f"D={d}"] = {
+                    "psum_like_bytes": sum(
+                        me.get(p, {"bytes": 0})["bytes"]
+                        for p in ("psum", "pmin", "pmax")),
+                    "gather_bytes": me.get("all_gather",
+                                           {"bytes": 0})["bytes"],
+                    "n_collectives": sum(
+                        me[p]["count"] for p in ("psum", "pmin", "pmax",
+                                                 "all_gather") if p in me),
+                }
+            vals = list(per_d.values())
+            invariant = all(v == vals[0] for v in vals[1:])
+            b_lap = vals[0]["psum_like_bytes"] + vals[0]["gather_bytes"]
+            n_coll = vals[0]["n_collectives"]
+            t_lap = args.online_lap_s or tf_1
+            online = {
+                "instrumented_per_device_per_lap": per_d,
+                "payload_d_invariant": invariant,
+                "frames_per_lap": T,
+                "t_lap_1dev_s": round(t_lap, 5),
+                "t_lap_source": ("real chip (--online-lap-s)"
+                                 if args.online_lap_s
+                                 else f"this {mesh_kind} mesh (S=1 fleet "
+                                      "lap)"),
+                "predicted_comm_s": {
+                    f"D={d}": round(online_comm_time(
+                        d, bytes_per_lap=b_lap, n_collectives=n_coll,
+                        model=mdl), 6)
+                    for d in (8, 32, 256)},
+                "predicted_efficiency_weak": {
+                    f"D={d}": round(predict_efficiency_weak_online(
+                        t_lap, d, bytes_per_lap=b_lap,
+                        n_collectives=n_coll, model=mdl), 3)
+                    for d in (8, 32, 256)},
+                "note": (
+                    "the online pass is collective-LATENCY bound (~"
+                    f"{n_coll} launches/lap), so the map axis is an "
+                    "INTRA-TRAY (ICI) technique by design — D>8 rows "
+                    "model sharding one session's map across DCN anyway "
+                    "and show why the framework instead scales across "
+                    "trays by the session axis (fleet_scaling: zero "
+                    "per-frame cross-session collectives) with the "
+                    "hierarchical solve for cross-tray optimization"),
+            }
+        except Exception as e:  # noqa: BLE001
+            online = {"error": repr(e)[:160]}
+
+        # fusion merge tier folded into the predictions as well (VERDICT
+        # r3 next #7 named it): gathered label vectors grow with S*L, so
+        # its efficiency is the dedup-iteration gather against the joint
+        # GN it precedes (t1_comp, the measured chain-solve compute)
+        pred["fusion_dedup"] = {
+            f"D={d}": round(predict_efficiency(
+                "fusion_dedup", t1_comp, d, P=n_chain, L=n_chain,
+                shared_cap=sc, iterations=1, SL=d * 256, model=mdl), 3)
+            for d in (8, 32, 256)}
+
         results["comm_model"] = {
             "assumptions": {"ici_bw_gbytes_per_s":
                             mdl.ici_bw_bytes_per_s / 1e9,
@@ -365,6 +455,7 @@ def main():
                                else f"this {mesh_kind} mesh"),
             "bytes_per_iteration": vols,
             "instrumented_bytes": inst,
+            "online_frontend": online,
             "predicted_efficiency_strong": pred,
             "predicted_efficiency_strong_hier": strong_hier,
             "predicted_efficiency_weak_podscale": weak,

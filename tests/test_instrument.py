@@ -122,3 +122,54 @@ def test_resident_instrumented_matches_model():
     assert inst_psum < 0.2 * (L * 8) * 4 + model["payload_psum"]
     assert abs(inst_psum - model["payload_psum"]) \
         <= 0.15 * model["payload_psum"], (inst_psum, model)
+
+
+def test_resident_online_payload_d_invariant():
+    """The ONLINE resident-map pass (parallel/resident_online.py) has no
+    analytic byte formula in the comm model — its tier is MEASURED
+    (comm_model.online_comm_time takes instrumented bytes). The contract
+    that makes that sound: the per-device collective payload must be
+    exactly invariant in D (association is shard-local [BN, L/D]; winners
+    are [BN]-sized pmins; solves psum capacity-sized reduced systems) and
+    carry no O(L_glob) gathers."""
+    from tpuslam.frontend.blocked import _pad_inputs, _pick_compact
+    from tpuslam.frontend.state import initial_state
+    from tpuslam.parallel import resident_online as RO
+    from tpuslam.runtime.config import SlamConfig
+    from tpuslam.sim import SimConfig, simulate, trackdrive
+
+    scen = simulate(trackdrive(seed=11),
+                    SimConfig(laps=1.2, keyframe_dt=0.2, speed=8.0,
+                              max_range=20.0, seed=60))
+    T = len(scen.times) - len(scen.times) % 16
+    cap = G.GraphCapacity(max_poses=max(64, T), max_landmarks=128,
+                          max_obs=2048)
+    cfg = SlamConfig(capacity=cap)
+    obs = jnp.asarray(scen.obs[:T], jnp.float32)
+    valid = jnp.asarray(scen.obs_valid[:T])
+    poses = jnp.asarray(scen.odom_poses[:T], jnp.float32)
+    o_p, v_p, p_p, _ = _pad_inputs(obs, valid, poses, cfg, 16)
+    cmp_o = _pick_compact(v_p)
+
+    per_d = {}
+    for d in (2, 4):
+        mesh = jax.make_mesh((d,), ("map",))
+        shards = RO.initial_shards(cap.max_landmarks)
+        me = collective_payload_bytes(
+            lambda s_, lx, lt, li: RO.resident_online_core(
+                s_, lx, lt, li, o_p, v_p, p_p, cfg, mesh, 16, "map",
+                cmp_o),
+            initial_state(cap), *shards)
+        per_d[d] = {
+            "psum_like": sum(me.get(p, {"bytes": 0})["bytes"]
+                             for p in ("psum", "pmin", "pmax")),
+            "gather": me.get("all_gather", {"bytes": 0})["bytes"],
+            "counts": sum(me[p]["count"]
+                          for p in ("psum", "pmin", "pmax", "all_gather")
+                          if p in me),
+        }
+    assert per_d[2] == per_d[4], per_d
+    # nothing O(L_glob) on the wire: gathers must be tiny next to one
+    # full landmark array
+    assert per_d[2]["gather"] < cap.max_landmarks * 8
+    assert per_d[2]["psum_like"] > 0 and per_d[2]["counts"] > 0

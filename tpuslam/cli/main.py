@@ -185,18 +185,36 @@ def cmd_sim(args):
         from tpuslam.runtime.service import scenario_to_rec
         scenario_to_rec(scen, args.rec_out, cfg)
         print(f"[slamctl] wrote {args.rec_out}", file=sys.stderr)
-    if args.pipeline == "blocked":
+    if args.pipeline in ("blocked", "resident"):
         # whole-lap replay through the frame-blocked device pipeline
-        # (frontend/blocked.py) — bit-exact vs the live per-frame engine
+        # (frontend/blocked.py) — bit-exact vs the live per-frame engine.
+        # `resident` runs the same pass with the landmark map physically
+        # sharded over a ('map',) device mesh (parallel/resident_online.py)
+        # — the pod-scale-map serving path (BASELINE config 5).
         import jax
         import jax.numpy as jnp
         from tpuslam.frontend.blocked import run_pass_blocked
         obs = jnp.asarray(scen.obs, jnp.float32)
         valid = jnp.asarray(scen.obs_valid)
         poses = jnp.asarray(scen.odom_poses, jnp.float32)
-        run_pass_blocked(obs, valid, poses, cfg)       # warm/compile
+        if args.pipeline == "resident":
+            from tpuslam.parallel.resident_online import (
+                run_pass_resident_online)
+            d = args.map_shards or len(jax.devices())
+            d = min(d, len(jax.devices()))
+            while cfg.capacity.max_landmarks % d:
+                d -= 1
+            mesh = jax.make_mesh((d,), ("map",))
+
+            def run():
+                return run_pass_resident_online(obs, valid, poses, cfg,
+                                                mesh, block=16)
+        else:
+            def run():
+                return run_pass_blocked(obs, valid, poses, cfg)
+        run()                                          # warm/compile
         t0 = time.perf_counter()
-        state, outs = run_pass_blocked(obs, valid, poses, cfg)
+        state, outs = run()
         jax.block_until_ready(state.graph.poses)
         dt = time.perf_counter() - t0
         est = np.asarray(outs.pose)
@@ -513,10 +531,19 @@ def main(argv=None):
     ps.add_argument("--laps", type=float, default=1.3)
     ps.add_argument("--seed", type=int, default=0)
     ps.add_argument("--rec-out")
-    ps.add_argument("--pipeline", choices=["live", "blocked"], default="live",
+    ps.add_argument("--pipeline", choices=["live", "blocked", "resident"],
+                    default="live",
                     help="live = message-level per-frame engine; blocked = "
                          "whole-lap frame-blocked device pipeline "
-                         "(frontend/blocked.py, bit-exact, ~20x faster)")
+                         "(frontend/blocked.py, bit-exact, ~20x faster); "
+                         "resident = the blocked pass with the landmark "
+                         "map physically sharded over a ('map',) device "
+                         "mesh (parallel/resident_online.py — per-device "
+                         "landmark memory O(L/D))")
+    ps.add_argument("--map-shards", type=int, default=0,
+                    help="device count for --pipeline resident (0 = all "
+                         "visible devices; rounded down to divide the "
+                         "landmark capacity)")
     ps.add_argument("--png")
     ps.set_defaults(fn=cmd_sim)
 

@@ -39,7 +39,8 @@ from dataclasses import dataclass
 __all__ = ["CommModel", "tier_bytes_per_iteration", "predict_times",
            "predict_efficiency", "hier_bytes_per_iteration",
            "hier_comm_time", "flat_comm_time", "predict_efficiency_hier",
-           "predict_efficiency_weak"]
+           "predict_efficiency_weak", "online_comm_time",
+           "predict_efficiency_weak_online"]
 
 F32 = 4
 
@@ -105,11 +106,11 @@ def predict_times(tier: str, t_comp_1dev_s: float, D: int, *, P: int, L: int,
 def predict_efficiency(tier: str, t_comp_1dev_s: float, D: int, *, P: int,
                        L: int, shared_cap: int = 64,
                        model: CommModel = CommModel(),
-                       iterations: int = 1) -> float:
+                       iterations: int = 1, SL: int | None = None) -> float:
     """Parallel efficiency t(1)/(D * t(D)) under the model."""
     t_d = predict_times(tier, t_comp_1dev_s, D, P=P, L=L,
                         shared_cap=shared_cap, model=model,
-                        iterations=iterations)["t_total_s"]
+                        iterations=iterations, SL=SL)["t_total_s"]
     return t_comp_1dev_s / (D * t_d)
 
 
@@ -187,6 +188,41 @@ def flat_comm_time(D: int, *, shared_per_boundary: float = 2.0,
         else model.collective_latency_s
     payload = (m * m + m + lsh * 8) * F32
     return iterations * (ring * payload / bw + 3 * lat * D ** 0.5)
+
+
+def online_comm_time(D: int, *, bytes_per_lap: int, n_collectives: int,
+                     model: CommModel = CommModel(),
+                     cross_domain: bool = True) -> float:
+    """Per-lap communication time of the ONLINE resident-map pipeline
+    (parallel/resident_online.py) — the frontend tier VERDICT r3 next #7
+    asked to fold into the efficiency predictions.
+
+    Unlike the solver tiers there is no analytic shape formula here: the
+    pass's per-device collective payload is MEASURED by the jaxpr walker
+    (`parallel/instrument.py`) and is exactly D-invariant (association is
+    shard-local [BN, L/D]; winners are [BN]-sized pmins; both solves psum
+    a reduced system whose size is set by pose capacity, not L or D —
+    verified at D = 2/4/8 in tests/test_instrument.py). So the model takes
+    the measured per-lap bytes/count as inputs. Ring factor and the
+    DCN-past-one-tray convention match `flat_comm_time`."""
+    ring = 2.0 * (D - 1) / D
+    bw = model.dcn_bw_bytes_per_s if cross_domain and D > 8 \
+        else model.ici_bw_bytes_per_s
+    lat = model.dcn_latency_s if cross_domain and D > 8 \
+        else model.collective_latency_s
+    return ring * bytes_per_lap / bw + n_collectives * lat * D ** 0.5
+
+
+def predict_efficiency_weak_online(t_lap_1dev_s: float, D: int, *,
+                                   bytes_per_lap: int, n_collectives: int,
+                                   model: CommModel = CommModel()) -> float:
+    """WEAK-scaling efficiency of the online pipeline: the map grows with
+    D at fixed per-device shard width, per-device compute and per-device
+    collective payload constant (measured), so
+    eff = t_lap / (t_lap + t_comm(D))."""
+    t_comm = online_comm_time(D, bytes_per_lap=bytes_per_lap,
+                              n_collectives=n_collectives, model=model)
+    return t_lap_1dev_s / (t_lap_1dev_s + t_comm)
 
 
 def predict_efficiency_weak(tier: str, t_comp_per_dev_s: float, D: int, *,

@@ -97,17 +97,18 @@ def initial_shards(L_global: int):
 
 def _gather_lm(gidx, base, Lb, axis, *arrs):
     """Replicated global-id gather from the local shard: rows owned by this
-    device contribute, one psum sums the one-hot parts. gidx values >= L or
-    < 0 return zero rows."""
+    device contribute, ONE tupled psum sums the one-hot parts of every
+    array at once (the pass is collective-LATENCY bound at scale —
+    SCALING_r04 online_frontend — so k arrays must not cost k launches).
+    gidx values >= L or < 0 return zero rows."""
     loc = gidx - base
     own = (loc >= 0) & (loc < Lb)
     locc = jnp.clip(loc, 0, Lb - 1)
-    outs = []
-    for a in arrs:
-        part = jnp.where(own.reshape(own.shape + (1,) * (a.ndim - 1)),
-                         a[locc], jnp.zeros((), a.dtype))
-        outs.append(jax.lax.psum(part, axis))
-    return outs
+    parts = tuple(
+        jnp.where(own.reshape(own.shape + (1,) * (a.ndim - 1)),
+                  a[locc], jnp.zeros((), a.dtype))
+        for a in arrs)
+    return list(jax.lax.psum(parts, axis))
 
 
 def _local_scatter_to(gidx, enable, base, Lb):
@@ -119,7 +120,8 @@ def _local_scatter_to(gidx, enable, base, Lb):
 
 def _associate_resident(glob_k, otype_k, valid_k, lm_xy_l, lm_type_l,
                         lm_info_l, n_landmarks, base, Lb, cfg: SlamConfig,
-                        axis, type_signed_bug=False, force_first=False):
+                        axis, type_signed_bug=False, force_first=False,
+                        need_cost=True):
     """Phase-A association against the sharded map: shard-local [BN, Lb]
     gating + pmin winner. Returns (j_snap global, snap_match, cost, gate);
     cost is in gate units (inf where unmatched). Bit-identical winners to
@@ -144,6 +146,12 @@ def _associate_resident(glob_k, otype_k, valid_k, lm_xy_l, lm_type_l,
                         base + jnp.argmax(ok, axis=1), _IMAX)
         sel = jax.lax.pmin(key, axis)
         matched = sel < _IMAX
+        if not need_cost:
+            # both first-policy callers (mapping with association='first',
+            # the localizer) discard the cost — skip its collective (the
+            # pass is latency-bound at scale, SCALING_r04 online_frontend)
+            return (sel.astype(jnp.int32), matched,
+                    jnp.where(matched, 0.0, jnp.inf), gate)
         cost_sel = jax.lax.pmin(
             jnp.where((key == sel) & matched,
                       jnp.take_along_axis(
@@ -162,16 +170,35 @@ def _associate_resident(glob_k, otype_k, valid_k, lm_xy_l, lm_type_l,
     return j, matched, jnp.where(matched, gmin, jnp.inf), gate
 
 
-def _packet_series_resident(lm_xy_l, lm_type_l, base, Lb, axis, n_lm_after,
-                            cur_after, out_pose, cfg: SlamConfig):
-    """`frontend.blocked._packet_series` with the ring gathered from the
-    shards (reference ring wrap src/slam.cpp:667 runs on GLOBAL ids)."""
+def _packet_gather_resident(lm_xy_l, lm_type_l, base, Lb, axis, n_lm_after,
+                            cur_after, cfg: SlamConfig, extra_xy_idx=None):
+    """Ring-packet rows gathered from the shards (reference ring wrap
+    src/slam.cpp:667 runs on GLOBAL ids). `extra_xy_idx` [M]: extra global
+    landmark ids whose xy rows ride the SAME psum launch (the
+    localizer-refine rows — the pass is collective-latency bound at scale,
+    SCALING_r04 online_frontend — one launch instead of two); returned as
+    a third output [M, 2]."""
     k = jnp.arange(cfg.cones_per_packet)
     idx = cur_after[:, None] + k[None, :]
     n = jnp.maximum(n_lm_after, 1)[:, None]
     idx = jnp.where(idx < n, idx, idx - n)
     idx = jnp.clip(idx, 0, n - 1)
+    if extra_xy_idx is not None:
+        flat = jnp.concatenate([idx.reshape(-1), extra_xy_idx])
+        xy_all, ty_all = _gather_lm(flat, base, Lb, axis, lm_xy_l,
+                                    lm_type_l)
+        m = idx.size
+        return (xy_all[:m].reshape(idx.shape + (2,)),
+                ty_all[:m].reshape(idx.shape), xy_all[m:])
     xy, ty = _gather_lm(idx, base, Lb, axis, lm_xy_l, lm_type_l)
+    return xy, ty, None
+
+
+def _packet_series_resident(lm_xy_l, lm_type_l, base, Lb, axis, n_lm_after,
+                            cur_after, out_pose, cfg: SlamConfig):
+    """`frontend.blocked._packet_series` against the sharded map."""
+    xy, ty, _ = _packet_gather_resident(lm_xy_l, lm_type_l, base, Lb, axis,
+                                        n_lm_after, cur_after, cfg)
     az, dist = global_to_body_spherical(out_pose[:, None, :], xy,
                                         cfg.reference_compat)
     return az, dist, ty
@@ -224,8 +251,14 @@ def _mapping_block_resident(state: SlamState, lm_xy_l, lm_type_l, lm_info_l,
     # ---- phase A against the block-start (post-boot) sharded map
     j_snap, snap_match, cost_snap, gate = _associate_resident(
         glob_k, otype_k, valid_k, lm_xy_l, lm_type_l, lm_info_l,
-        g.n_landmarks, base, Lb, cfg, axis)
-    (snap_xy,) = _gather_lm(j_snap, base, Lb, axis, lm_xy_l)
+        g.n_landmarks, base, Lb, cfg, axis,
+        need_cost=cfg.association != "first")
+    # one launch gathers both the snap rows and the closure anchor
+    # (global slot 0) — both read the same post-boot shard state
+    (snap_and_0,) = _gather_lm(
+        jnp.concatenate([j_snap, jnp.zeros((1,), jnp.int32)]), base, Lb,
+        axis, lm_xy_l)
+    snap_xy, lm0 = snap_and_0[:BN], snap_and_0[BN:]
 
     # ---- in-block creations + duplicate representatives (replicated [BN]
     # machinery — the exact dense-pass code)
@@ -262,7 +295,6 @@ def _mapping_block_resident(state: SlamState, lm_xy_l, lm_type_l, lm_info_l,
     in_frame_tgt = target_f[frame_of, jnp.maximum(pi_cl.reshape(BN), 0)]
     cur_before = jnp.where(pm_cl.reshape(BN) < 100.0, in_frame_tgt,
                            cur_start_uns[frame_of])
-    (lm0,) = _gather_lm(jnp.zeros((1,), jnp.int32), base, Lb, axis, lm_xy_l)
     dfirst2 = jnp.sum((target_xy - lm0[0]) ** 2, axis=-1)
     closure0 = (matched_pf & (dfirst2 < cfg.loop_closure_radius ** 2)
                 & (cur_before > cfg.loop_closure_min_index)
@@ -395,7 +427,7 @@ def _loc_block_resident(state: SlamState, lm_xy_l, lm_type_l, lm_info_l,
     j, matched, _c, _gate = _associate_resident(
         glob_k, obs_k[:, 3].astype(jnp.int32), vloc_k, lm_xy_l, lm_type_l,
         lm_info_l, g.n_landmarks, base, Lb, cfg, axis, type_signed_bug=bug,
-        force_first=True)
+        force_first=True, need_cost=False)
 
     d2 = jnp.where(matched, obs_k[:, 2], _BIG).reshape(B, N)
     best = jnp.argmin(d2, axis=1)
@@ -410,8 +442,13 @@ def _loc_block_resident(state: SlamState, lm_xy_l, lm_type_l, lm_info_l,
     send_state = _last_valid_inclusive(state.send_cone_data, ran,
                                        cur_changed)[-1]
 
+    # ONE gather launch serves both the ring packets and (when enabled)
+    # the localizer-refine rows — the frozen map doesn't change in between
+    n_lm = jnp.broadcast_to(g.n_landmarks, (B,))
+    ring_xy, ctype, lm_rows = _packet_gather_resident(
+        lm_xy_l, lm_type_l, base, Lb, axis, n_lm, cur_after, cfg,
+        extra_xy_idx=j if cfg.localizer_refine else None)
     if cfg.localizer_refine:
-        (lm_rows,) = _gather_lm(j, base, Lb, axis, lm_xy_l)
         out_pose = jax.lax.map(
             lambda a: _pose_refine_rows(a[0], a[1], a[2], a[3]),
             (poses, lm_rows.reshape(B, N, 2), matched.reshape(B, N),
@@ -425,9 +462,8 @@ def _loc_block_resident(state: SlamState, lm_xy_l, lm_type_l, lm_info_l,
         send_cone_data=send_state,
         keyframe_count=state.keyframe_count + jnp.sum(okp.astype(jnp.int32)),
     )
-    n_lm = jnp.broadcast_to(g.n_landmarks, (B,))
-    az, dist, ctype = _packet_series_resident(
-        lm_xy_l, lm_type_l, base, Lb, axis, n_lm, cur_after, out_pose, cfg)
+    az, dist = global_to_body_spherical(out_pose[:, None, :], ring_xy,
+                                        cfg.reference_compat)
     outputs = KeyframeOutputs(
         pose=out_pose, cone_azimuth=az, cone_distance=dist, cone_type=ctype,
         send=ran, loop_closed=jnp.zeros((B,), bool),
