@@ -366,20 +366,47 @@ def main():
                         flops / sec_knee / pk[0] * 100, 2)
                     out["knee_hbm_util_pct"] = round(
                         byts / sec_knee / pk[1] * 100, 1)
-            lo = next((r for r in sweep if r["sessions"] == 16), sweep[0])
+            lo = next((r for r in sweep if r["sessions"] == s_knee),
+                      sweep[0])
             hi = sweep[-1]
             if "hbm_util_pct" in lo and "hbm_util_pct" in hi:
-                out["knee_limiter"] = (
-                    f"bandwidth-bound with locality falloff: "
-                    f"{lo.get('bytes_per_session_gb', 0)} GB/session at "
-                    f"S={lo['sessions']} ({lo['hbm_util_pct']}% HBM util) "
-                    f"vs {hi.get('bytes_per_session_gb', 0)} GB/session at "
-                    f"S={hi['sessions']} ({hi['hbm_util_pct']}% util) — "
-                    "bytes/session do not grow with S, the ACHIEVED "
-                    "bandwidth drops (larger batched tensors stride worse);"
-                    " arithmetic intensity ~15 flop/byte vs the chip's "
-                    "~240 ridge makes the bandwidth roof the ceiling, not "
-                    "MFU — see ARCHITECTURE.md §9")
+                # the prose is computed from the data, not asserted: the
+                # r3 pass sat at 46% of HBM peak (bandwidth-bound); after
+                # the r4 compaction/scan-ys redesign the HLO-level byte
+                # count DIVIDED BY time exceeds the HBM peak, i.e. fusion
+                # now serves part of the nominal traffic from
+                # VMEM/registers and the cost model's bytes are an upper
+                # bound, not a traffic measurement
+                grow = (hi.get("bytes_per_session_gb", 0)
+                        / max(lo.get("bytes_per_session_gb", 1e-9), 1e-9))
+                if lo["hbm_util_pct"] >= 95.0:
+                    out["knee_limiter"] = (
+                        f"at/past the naive HBM roof: the knee moves "
+                        f"{lo.get('bytes_per_session_gb', 0)} GB/session "
+                        f"of HLO-level bytes at a NOMINAL "
+                        f"{lo['hbm_util_pct']}% of peak bandwidth — >=100%"
+                        " means a fraction of the modeled bytes is served "
+                        "from VMEM by fusion (the cost model counts fused "
+                        "producers' operands), so the pass is no longer "
+                        "purely HBM-bound; residual large-S falloff: "
+                        f"S={hi['sessions']} models {grow:.1f}x the "
+                        "bytes/session (layout/padding growth) at "
+                        f"{hi['hbm_util_pct']}% nominal util — serve at "
+                        f"the knee S={s_knee}. Arithmetic intensity ~15 "
+                        "flop/byte vs the chip's ~240 ridge still bounds "
+                        "MFU structurally — see ARCHITECTURE.md §9")
+                else:
+                    out["knee_limiter"] = (
+                        f"bandwidth-bound with locality falloff: "
+                        f"{lo.get('bytes_per_session_gb', 0)} GB/session "
+                        f"at S={lo['sessions']} ({lo['hbm_util_pct']}% HBM"
+                        f" util) vs {hi.get('bytes_per_session_gb', 0)} "
+                        f"GB/session at S={hi['sessions']} "
+                        f"({hi['hbm_util_pct']}% util) — the ACHIEVED "
+                        "bandwidth drops (larger batched tensors stride "
+                        "worse); arithmetic intensity ~15 flop/byte vs "
+                        "the chip's ~240 ridge makes the bandwidth roof "
+                        "the ceiling, not MFU — see ARCHITECTURE.md §9")
         except Exception as e:  # noqa: BLE001
             out["error_knee_attribution"] = repr(e)[:160]
 
