@@ -401,3 +401,45 @@ def test_fused_graph_resident_dd_joint_optimize():
     errs = [_map_err(st.graph.lm_xy, st.graph.n_landmarks, track_xy)
             for st in states]
     assert err <= min(errs) + 5e-3, (err, errs)
+
+
+def test_fused_graph_hier_joint_optimize():
+    """Pod-scale fusion ACROSS TRAYS: the fused fleet graph jointly
+    optimized by the two-level hierarchical solve (parallel/hier.py,
+    tray-local elimination on the ICI domain, only the O(T) boundary
+    system crossing trays) — matches the single-device joint GN like the
+    flat resident DD does. This is the composition the weak-scaling
+    prediction (SCALING_r04 predicted_efficiency_weak_podscale hier_tray*)
+    is about."""
+    from tpuslam.parallel.hier import chain_optimize_hier
+    from tpuslam.parallel.mesh import make_chain_mesh
+
+    cap = GraphCapacity(max_poses=128, max_landmarks=128, max_obs=2048)
+    cfg = SlamConfig.improved(capacity=cap, association="mahalanobis",
+                              periodic_gn_every=0)
+    states, scens = _improved_sessions(4, cap, cfg)
+    track_xy = scens[0].track.cones_xy
+    stacked = stack_graphs([st.graph for st in states])
+    lm_info = jnp.stack([st.lm_info_xy for st in states])
+    fused, _rep = fusion.fuse_sessions(stacked, cfg=None,
+                                       gate=cfg.same_cone_threshold,
+                                       lm_info=lm_info, align=False)
+    gncfg = gn.GNConfig(odo_info=cfg.odo_info, lm_info=cfg.lm_info,
+                        iterations=4, fix_first_poses=0,
+                        fix_first_landmarks=0)
+    mesh = make_chain_mesh(8)
+    single = gn.optimize(fused, gncfg)
+    for tray in (2, 4):
+        dist = chain_optimize_hier(fused, gncfg, mesh, tray=tray)
+        npo = int(fused.n_poses)
+        nl = int(fused.n_landmarks)
+        np.testing.assert_allclose(np.asarray(dist.poses)[:npo],
+                                   np.asarray(single.poses)[:npo],
+                                   atol=1e-2, err_msg=f"tray={tray}")
+        np.testing.assert_allclose(np.asarray(dist.lm_xy)[:nl],
+                                   np.asarray(single.lm_xy)[:nl],
+                                   atol=1e-2, err_msg=f"tray={tray}")
+        err = _map_err(dist.lm_xy, dist.n_landmarks, track_xy)
+        errs = [_map_err(st.graph.lm_xy, st.graph.n_landmarks, track_xy)
+                for st in states]
+        assert err <= min(errs) + 5e-3, (tray, err, errs)
