@@ -303,7 +303,12 @@ def main():
         for s in sweep_sizes:
             runner = make_runner(s)
             _note(f"batched S={s}")
-            sec = timed_slope(runner, 1, 3, reps=3)
+            # scale the dispatch spread with 1/S so the measured
+            # device-time delta stays >= ~50 ms at every point: at a fixed
+            # 1-vs-3 spread the small-S deltas (~3 ms at S=2) were inside
+            # tunnel jitter and the knee position wandered run to run
+            k_hi = max(3, min(64, 128 // s))
+            sec = timed_slope(runner, 1, k_hi, reps=3)
             fps = s * t_b / sec
             sweep.append({"sessions": s, "frames_per_sec": round(fps, 1),
                           "sec_per_pass": round(sec, 5)})
