@@ -448,20 +448,21 @@ def main():
 
             base_b = bytes_of(frozenset())
             budget = {"total_gb": round(base_b / 1e9, 3)}
-            attributed = 0.0
-            for nm in ("dup", "assoc", "packet", "edges", "gn"):
+            hooks = ("dup", "assoc", "packet", "edges", "gn")
+            for nm in hooks:
                 _note(f"byte budget: {nm}")
                 delta = base_b - bytes_of(frozenset({nm}))
-                attributed += max(delta, 0.0)
                 budget[f"{nm}_gb"] = round(delta / 1e9, 3)
                 budget[f"{nm}_pct"] = round(delta / base_b * 100, 1)
-            # what ablation CANNOT remove: the scan-carried state itself
-            # (graph arrays written/read every block) — reported
-            # explicitly so the budget sums to 100%
-            budget["residual_state_carry_gb"] = round(
-                (base_b - attributed) / 1e9, 3)
+            # the floor is measured directly (everything ablated at once),
+            # NOT by subtracting the single-ablation deltas — those
+            # overlap (e.g. 'edges' empties arrays 'gn' also reads), so
+            # per-subsystem pcts need not sum to 100 - residual
+            _note("byte budget: residual")
+            resid_b = bytes_of(frozenset(hooks))
+            budget["residual_state_carry_gb"] = round(resid_b / 1e9, 3)
             budget["residual_state_carry_pct"] = round(
-                (base_b - attributed) / base_b * 100, 1)
+                resid_b / base_b * 100, 1)
             out["byte_budget_s16"] = budget
         except Exception as e:  # noqa: BLE001
             out["error_byte_budget"] = repr(e)[:160]

@@ -373,34 +373,50 @@ def main():
                 online_comm_time, predict_efficiency_weak_online)
             o_p, v_p, p_p, _ = _pad_inputs(ob[0], vb[0], pb[0], scfg, 16)
             cmp_o = _pick_compact(v_p)
+            # while_loop trip counts (the closure/window GN) are dynamic:
+            # instrument BOTH bounds — bodies counted once (lower) and at
+            # the GN iteration cap (upper) — and feed the UPPER bound to
+            # the predictions (conservative)
+            gn_iters = max(scfg.gn_iterations, scfg.periodic_gn_iterations)
             per_d = {}
             for d in (2, 4, 8):
                 if n_dev % d or scap.max_landmarks % d:
                     continue
                 mo = jax.make_mesh((d,), ("map",))
                 shards = RO.initial_shards(scap.max_landmarks)
-                me = collective_payload_bytes(
-                    lambda s_, lx, lt, li: RO.resident_online_core(
-                        s_, lx, lt, li, o_p, v_p, p_p, scfg, mo, 16,
-                        "map", cmp_o),
-                    initial_state(scap), *shards)
-                per_d[f"D={d}"] = {
-                    "psum_like_bytes": sum(
-                        me.get(p, {"bytes": 0})["bytes"]
-                        for p in ("psum", "pmin", "pmax")),
-                    "gather_bytes": me.get("all_gather",
-                                           {"bytes": 0})["bytes"],
-                    "n_collectives": sum(
-                        me[p]["count"] for p in ("psum", "pmin", "pmax",
-                                                 "all_gather") if p in me),
-                }
+                bounds = {}
+                for tag, wm in (("lower_while_once", 1),
+                                ("upper_while_x%d" % gn_iters, gn_iters)):
+                    me = collective_payload_bytes(
+                        lambda s_, lx, lt, li: RO.resident_online_core(
+                            s_, lx, lt, li, o_p, v_p, p_p, scfg, mo, 16,
+                            "map", cmp_o),
+                        initial_state(scap), *shards, while_mult=wm)
+                    bounds[tag] = {
+                        "psum_like_bytes": sum(
+                            me.get(p, {"bytes": 0})["bytes"]
+                            for p in ("psum", "pmin", "pmax")),
+                        "gather_bytes": me.get("all_gather",
+                                               {"bytes": 0})["bytes"],
+                        "n_collectives": sum(
+                            me[p]["count"] for p in ("psum", "pmin",
+                                                     "pmax", "all_gather")
+                            if p in me),
+                    }
+                per_d[f"D={d}"] = bounds
             vals = list(per_d.values())
             invariant = all(v == vals[0] for v in vals[1:])
-            b_lap = vals[0]["psum_like_bytes"] + vals[0]["gather_bytes"]
-            n_coll = vals[0]["n_collectives"]
+            up = next(k for k in vals[0] if k.startswith("upper"))
+            b_lap = (vals[0][up]["psum_like_bytes"]
+                     + vals[0][up]["gather_bytes"])
+            n_coll = vals[0][up]["n_collectives"]
             t_lap = args.online_lap_s or tf_1
             online = {
                 "instrumented_per_device_per_lap": per_d,
+                "bounds_note": ("while_loop (GN) trip counts are dynamic: "
+                                "lower = bodies once, upper = bodies at "
+                                "the GN iteration cap; predictions use "
+                                "the upper bound"),
                 "payload_d_invariant": invariant,
                 "frames_per_lap": T,
                 "t_lap_1dev_s": round(t_lap, 5),

@@ -152,7 +152,7 @@ def test_resident_online_payload_d_invariant():
     cmp_o = _pick_compact(v_p)
 
     per_d = {}
-    for d in (2, 4):
+    for d in (2, 4, 8):
         mesh = jax.make_mesh((d,), ("map",))
         shards = RO.initial_shards(cap.max_landmarks)
         me = collective_payload_bytes(
@@ -168,8 +168,21 @@ def test_resident_online_payload_d_invariant():
                           for p in ("psum", "pmin", "pmax", "all_gather")
                           if p in me),
         }
-    assert per_d[2] == per_d[4], per_d
+    assert per_d[2] == per_d[4] == per_d[8], per_d
     # nothing O(L_glob) on the wire: gathers must be tiny next to one
     # full landmark array
     assert per_d[2]["gather"] < cap.max_landmarks * 8
     assert per_d[2]["psum_like"] > 0 and per_d[2]["counts"] > 0
+
+    # the while-loop bound knob: GN bodies counted at the iteration cap
+    # must grow the payload (the closure GN psums live in a while_loop)
+    mesh2 = jax.make_mesh((2,), ("map",))
+    shards = RO.initial_shards(cap.max_landmarks)
+    up = collective_payload_bytes(
+        lambda s_, lx, lt, li: RO.resident_online_core(
+            s_, lx, lt, li, o_p, v_p, p_p, cfg, mesh2, 16, "map", cmp_o),
+        initial_state(cap), *shards, while_mult=10)
+    up_psum = sum(up.get(p, {"bytes": 0})["bytes"]
+                  for p in ("psum", "pmin", "pmax"))
+    assert up_psum > per_d[2]["psum_like"], (up_psum, per_d[2])
+    assert up.get("while_loops_counted_x") == 10

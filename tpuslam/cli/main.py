@@ -200,8 +200,12 @@ def cmd_sim(args):
         if args.pipeline == "resident":
             from tpuslam.parallel.resident_online import (
                 run_pass_resident_online)
+            if args.map_shards < 0:
+                print("[slamctl] --map-shards must be >= 0",
+                      file=sys.stderr)
+                return 2
             d = args.map_shards or len(jax.devices())
-            d = min(d, len(jax.devices()))
+            d = max(1, min(d, len(jax.devices())))
             while cfg.capacity.max_landmarks % d:
                 d -= 1
             mesh = jax.make_mesh((d,), ("map",))

@@ -203,8 +203,10 @@ def online_comm_time(D: int, *, bytes_per_lap: int, n_collectives: int,
     shard-local [BN, L/D]; winners are [BN]-sized pmins; both solves psum
     a reduced system whose size is set by pose capacity, not L or D —
     verified at D = 2/4/8 in tests/test_instrument.py). So the model takes
-    the measured per-lap bytes/count as inputs. Ring factor and the
-    DCN-past-one-tray convention match `flat_comm_time`."""
+    the measured per-lap bytes/count as inputs; callers should pass the
+    instrumenter's while_mult=<GN iteration cap> UPPER bound (while-loop
+    trip counts are dynamic and counted once by default). Ring factor and
+    the DCN-past-one-tray convention match `flat_comm_time`."""
     ring = 2.0 * (D - 1) / D
     bw = model.dcn_bw_bytes_per_s if cross_domain and D > 8 \
         else model.ici_bw_bytes_per_s

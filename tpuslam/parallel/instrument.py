@@ -56,15 +56,20 @@ def _walk(jaxpr, mult, out):
         if name == "scan":
             _walk(p["jaxpr"].jaxpr, mult * int(p["length"]), out)
         elif name == "while":
-            out["while_loops_counted_once"] = True
-            _walk(p["body_jaxpr"].jaxpr, mult, out)
-            _walk(p["cond_jaxpr"].jaxpr, mult, out)
+            wm = out.get("_while_mult", 1)
+            if wm == 1:
+                out["while_loops_counted_once"] = True
+            else:
+                out["while_loops_counted_x"] = wm
+            _walk(p["body_jaxpr"].jaxpr, mult * wm, out)
+            _walk(p["cond_jaxpr"].jaxpr, mult * wm, out)
         elif name == "cond":
             # branches may differ; count the max over branches per prim
             branch_outs = []
             for br in p["branches"]:
-                bo = {}
+                bo = {"_while_mult": out.get("_while_mult", 1)}
                 _walk(br.jaxpr, mult, bo)
+                bo.pop("_while_mult", None)
                 branch_outs.append(bo)
             for bo in branch_outs:
                 for k, v in bo.items():
@@ -82,13 +87,20 @@ def _walk(jaxpr, mult, out):
                 _walk(sub.jaxpr if hasattr(sub, "jaxpr") else sub, mult, out)
 
 
-def collective_payload_bytes(fn, *args, **kwargs) -> dict:
+def collective_payload_bytes(fn, *args, while_mult: int = 1,
+                             **kwargs) -> dict:
     """Trace `fn(*args, **kwargs)` and return
     {prim: {count, bytes}, total_bytes, ...flags} with per-device operand
-    bytes per primitive (see module docstring for conventions)."""
+    bytes per primitive (see module docstring for conventions).
+
+    `while_mult`: multiplier applied to while_loop bodies. Trip counts are
+    dynamic, so the default (1) is a LOWER bound; pass the loop's maximum
+    iteration count (e.g. the GN config's `iterations`) for a conservative
+    upper bound when the numbers feed a time/efficiency model."""
     closed = jax.make_jaxpr(fn)(*args, **kwargs)
-    out: dict = {}
+    out: dict = {"_while_mult": max(int(while_mult), 1)}
     _walk(closed.jaxpr, 1, out)
+    del out["_while_mult"]
     out["total_bytes"] = sum(v["bytes"] for v in out.values()
                              if isinstance(v, dict))
     return out
