@@ -457,12 +457,14 @@ def main():
             # the floor is measured directly (everything ablated at once),
             # NOT by subtracting the single-ablation deltas — those
             # overlap (e.g. 'edges' empties arrays 'gn' also reads), so
-            # per-subsystem pcts need not sum to 100 - residual
+            # per-subsystem pcts need not sum to 100 - residual. What
+            # remains is the NON-OPTIONAL core: global transforms, closure
+            # detection, prefix scans, pose/index series, state threading
+            # — not just the carried arrays, so it is named accordingly
             _note("byte budget: residual")
             resid_b = bytes_of(frozenset(hooks))
-            budget["residual_state_carry_gb"] = round(resid_b / 1e9, 3)
-            budget["residual_state_carry_pct"] = round(
-                resid_b / base_b * 100, 1)
+            budget["residual_core_gb"] = round(resid_b / 1e9, 3)
+            budget["residual_core_pct"] = round(resid_b / base_b * 100, 1)
             out["byte_budget_s16"] = budget
         except Exception as e:  # noqa: BLE001
             out["error_byte_budget"] = repr(e)[:160]
