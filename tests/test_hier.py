@@ -107,3 +107,17 @@ def test_hier_level2_smaller_than_flat_interface():
             g.n_poses, g.n_landmarks),
         g2.poses, lm_loc, lm_shared)
     assert meas["psum"]["bytes"] > 0
+    # absolute cross-check (VERDICT r3 next #7 for this tier too): the
+    # analytic per-iteration psum payload must match what the traced
+    # program actually moves, within tolerance for the few bookkeeping
+    # scalars the analytic figure rounds away
+    analytic_psum = (hier["level1_ici_psum"] + hier["level2_cross_psum"]
+                     + hier["shared_hll_gl_psum"] + hier["dl_shared_psum"])
+    inst_psum = meas["psum"]["bytes"]
+    assert abs(inst_psum - analytic_psum) <= 0.15 * analytic_psum, \
+        (inst_psum, analytic_psum, hier)
+    if "ppermute" in meas:
+        assert abs(meas["ppermute"]["bytes"]
+                   - hier["pose_halo_ppermute"]) \
+            <= 0.5 * hier["pose_halo_ppermute"] + 64, \
+            (meas["ppermute"]["bytes"], hier["pose_halo_ppermute"])
