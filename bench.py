@@ -385,15 +385,24 @@ def main():
                 grow = (hi.get("bytes_per_session_gb", 0)
                         / max(lo.get("bytes_per_session_gb", 1e-9), 1e-9))
                 if lo["hbm_util_pct"] >= 95.0:
+                    # the VMEM-fusion claim only follows once the nominal
+                    # util actually EXCEEDS 100% (ADVICE r4 low #4); at
+                    # 95-100% the honest statement is "at the roof"
+                    vmem = (
+                        ">=100% means a fraction of the modeled bytes is "
+                        "served from VMEM by fusion (the cost model counts "
+                        "fused producers' operands), so the pass is no "
+                        "longer purely HBM-bound"
+                        if lo["hbm_util_pct"] >= 100.0 else
+                        "at/near the naive roof the pass is effectively "
+                        "bandwidth-saturated (nominal util is an HLO-level "
+                        "upper bound)")
                     out["knee_limiter"] = (
                         f"at/past the naive HBM roof: the knee moves "
                         f"{lo.get('bytes_per_session_gb', 0)} GB/session "
                         f"of HLO-level bytes at a NOMINAL "
-                        f"{lo['hbm_util_pct']}% of peak bandwidth — >=100%"
-                        " means a fraction of the modeled bytes is served "
-                        "from VMEM by fusion (the cost model counts fused "
-                        "producers' operands), so the pass is no longer "
-                        "purely HBM-bound; residual large-S falloff: "
+                        f"{lo['hbm_util_pct']}% of peak bandwidth — "
+                        f"{vmem}; residual large-S falloff: "
                         f"S={hi['sessions']} models {grow:.1f}x the "
                         "bytes/session (layout/padding growth) at "
                         f"{hi['hbm_util_pct']}% nominal util — serve at "

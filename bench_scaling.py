@@ -407,9 +407,12 @@ def main():
             vals = list(per_d.values())
             invariant = all(v == vals[0] for v in vals[1:])
             up = next(k for k in vals[0] if k.startswith("upper"))
-            b_lap = (vals[0][up]["psum_like_bytes"]
-                     + vals[0][up]["gather_bytes"])
-            n_coll = vals[0][up]["n_collectives"]
+            # if the D-invariance contract ever breaks, predictions must
+            # not silently ride the D=2 payload (ADVICE r4 low #3): take
+            # the worst (max) payload across the measured meshes
+            b_lap = max(v[up]["psum_like_bytes"] + v[up]["gather_bytes"]
+                        for v in vals)
+            n_coll = max(v[up]["n_collectives"] for v in vals)
             t_lap = args.online_lap_s or tf_1
             online = {
                 "instrumented_per_device_per_lap": per_d,

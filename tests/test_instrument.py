@@ -60,6 +60,66 @@ def test_counts_simple_psum():
     assert out["psum"]["bytes"] == 16 * 4      # per-device [16] f32
 
 
+def test_cond_branch_bytes_add_to_outer():
+    """ADVICE r4 medium: a primitive appearing both BEFORE a lax.cond and
+    inside its branches must accumulate outer + max-over-branches — the old
+    compare/replace either dropped the branch bytes or clobbered the outer
+    accumulation."""
+    mesh = jax.make_mesh((8,), ("x",))
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def inner(v):
+        a = jax.lax.psum(v, "x")                       # outer: 64 B
+        big = jax.lax.cond(
+            a.sum() > 0,
+            lambda: jax.lax.psum(v * 2.0, "x").sum(),  # branch: 64 B
+            lambda: jax.lax.psum(jnp.zeros((4,), jnp.float32),
+                                 "x").sum())           # branch: 16 B
+        return a + big
+
+    @jax.jit
+    def f(x):
+        return shard_map(inner, mesh=mesh, in_specs=P("x"),
+                         out_specs=P())(x)
+
+    out = collective_payload_bytes(f, jnp.zeros((8, 16), jnp.float32))
+    # outer 16*4 + max-branch 16*4 (the 4*4 branch is the smaller one)
+    assert out["psum"]["count"] == 2, out
+    assert out["psum"]["bytes"] == 2 * 16 * 4, out
+
+
+def test_nested_while_mult_applies_once():
+    """ADVICE r4 low: while_mult must not compound as wm**depth for nested
+    while_loops — the inner loop's body is counted once."""
+    mesh = jax.make_mesh((8,), ("x",))
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def inner(v):
+        def outer_body(c):
+            i, acc = c
+
+            def inner_body(c2):
+                j, a2 = c2
+                return j + 1, a2 + jax.lax.psum(v, "x")  # 64 B / visit
+            _, acc2 = jax.lax.while_loop(lambda c2: c2[0] < 2,
+                                         inner_body, (0, acc))
+            return i + 1, acc2
+        return jax.lax.while_loop(lambda c: c[0] < 3, outer_body,
+                                  (0, jnp.zeros_like(v)))[1]
+
+    @jax.jit
+    def f(x):
+        return shard_map(inner, mesh=mesh, in_specs=P("x"),
+                         out_specs=P(), check_vma=False)(x)
+
+    out = collective_payload_bytes(f, jnp.zeros((8, 16), jnp.float32),
+                                   while_mult=5)
+    # outer while counted x5, inner while once: 5 * 1 * 64 B, not 5*5*64
+    assert out["psum"]["bytes"] == 5 * 16 * 4, out
+
+
 def test_chain_dd_instrumented_matches_model():
     g = _chain_world()
     mesh = make_chain_mesh(8)

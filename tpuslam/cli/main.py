@@ -204,10 +204,15 @@ def cmd_sim(args):
                 print("[slamctl] --map-shards must be >= 0",
                       file=sys.stderr)
                 return 2
-            d = args.map_shards or len(jax.devices())
-            d = max(1, min(d, len(jax.devices())))
+            req = args.map_shards or len(jax.devices())
+            d = max(1, min(req, len(jax.devices())))
             while cfg.capacity.max_landmarks % d:
                 d -= 1
+            if d != req:
+                print(f"[slamctl] --map-shards {req} adjusted to {d} "
+                      f"(must divide landmark capacity "
+                      f"{cfg.capacity.max_landmarks} and fit "
+                      f"{len(jax.devices())} devices)", file=sys.stderr)
             mesh = jax.make_mesh((d,), ("map",))
 
             def run():
@@ -216,7 +221,12 @@ def cmd_sim(args):
         else:
             def run():
                 return run_pass_blocked(obs, valid, poses, cfg)
-        run()                                          # warm/compile
+        try:
+            run()                                      # warm/compile
+        except ValueError as e:
+            print(f"[slamctl] unsupported pipeline config: {e}",
+                  file=sys.stderr)
+            return 2
         t0 = time.perf_counter()
         state, outs = run()
         jax.block_until_ready(state.graph.poses)

@@ -61,24 +61,35 @@ def _walk(jaxpr, mult, out):
                 out["while_loops_counted_once"] = True
             else:
                 out["while_loops_counted_x"] = wm
+            # wm applies to THIS loop's body only — clearing it before the
+            # recursion keeps nested while_loops counted once instead of
+            # compounding wm**depth (ADVICE r4 low #2)
+            out["_while_mult"] = 1
             _walk(p["body_jaxpr"].jaxpr, mult * wm, out)
             _walk(p["cond_jaxpr"].jaxpr, mult * wm, out)
+            out["_while_mult"] = wm
         elif name == "cond":
-            # branches may differ; count the max over branches per prim
+            # branches may differ; take the max over branches per prim and
+            # ADD it to the outer accumulation (ADVICE r4 medium: the old
+            # compare/replace against `out` dropped or clobbered bytes
+            # accumulated OUTSIDE the cond when a primitive appeared both
+            # before and inside one)
             branch_outs = []
             for br in p["branches"]:
                 bo = {"_while_mult": out.get("_while_mult", 1)}
                 _walk(br.jaxpr, mult, bo)
                 bo.pop("_while_mult", None)
                 branch_outs.append(bo)
-            for bo in branch_outs:
-                for k, v in bo.items():
-                    if not isinstance(v, dict):
-                        out[k] = v
-                        continue
-                    rec = out.setdefault(k, {"count": 0, "bytes": 0})
-                    if v["bytes"] > rec["bytes"]:
-                        rec.update(v)
+            keys = {k for bo in branch_outs for k in bo}
+            for k in keys:
+                vs = [bo[k] for bo in branch_outs if k in bo]
+                if not isinstance(vs[0], dict):
+                    out[k] = vs[0]
+                    continue
+                worst = max(vs, key=lambda v: v["bytes"])
+                rec = out.setdefault(k, {"count": 0, "bytes": 0})
+                rec["count"] += worst["count"]
+                rec["bytes"] += worst["bytes"]
         else:
             for key in ("jaxpr", "call_jaxpr", "body_jaxpr", "cond_jaxpr"):
                 sub = p.get(key)
