@@ -321,14 +321,30 @@ def cmd_fuse(args):
         lm_info = jnp.stack(infos)
 
     mesh = None
+    solve_mesh = None
     if args.mesh_shards > 1:
-        from tpuslam.parallel.mesh import make_slam_mesh
         n_dev = len(jax.devices())
         if n_dev < args.mesh_shards:
             print(f"[slamctl] --mesh-shards {args.mesh_shards} > "
                   f"{n_dev} devices", file=sys.stderr)
             return 2
-        mesh = make_slam_mesh(n_sessions=1, n_edge_shards=args.mesh_shards)
+        if args.solver == "auto":
+            from tpuslam.parallel.mesh import make_slam_mesh
+            mesh = make_slam_mesh(n_sessions=1,
+                                  n_edge_shards=args.mesh_shards)
+    if args.solver in ("dd", "hier"):
+        from tpuslam.parallel.mesh import make_chain_mesh
+        n = args.mesh_shards if args.mesh_shards > 1 else len(jax.devices())
+        if cap.max_poses * len(graphs) % n or cap.max_poses * len(graphs) // n < 3:
+            print(f"[slamctl] --solver {args.solver}: fused pose capacity "
+                  f"{cap.max_poses * len(graphs)} not partitionable over "
+                  f"{n} devices", file=sys.stderr)
+            return 2
+        if args.solver == "hier" and args.tray and n % args.tray:
+            print(f"[slamctl] --tray {args.tray} must divide the device "
+                  f"count {n}", file=sys.stderr)
+            return 2
+        solve_mesh = make_chain_mesh(n)
 
     gncfg = gn.GNConfig(odo_info=cfg.odo_info, lm_info=cfg.lm_info,
                         iterations=args.gn_iterations,
@@ -338,11 +354,13 @@ def cmd_fuse(args):
     t0 = time.perf_counter()
     fused, report = fusion.fuse_sessions(
         stacked, cfg=gncfg, gate=cfg.same_cone_threshold, mesh=mesh,
-        align=not args.no_align, lm_info=lm_info)
+        align=not args.no_align, lm_info=lm_info,
+        solver=args.solver, tray=args.tray or None, solve_mesh=solve_mesh)
     jax.block_until_ready(fused.poses)
     dt = time.perf_counter() - t0
 
     result = {
+        "solver": args.solver,
         "sessions": len(graphs),
         "landmarks_per_session": [int(g.n_landmarks) for g in graphs],
         "fused_landmarks": int(fused.n_landmarks),
@@ -577,6 +595,19 @@ def main(argv=None):
     pf.add_argument("--mesh-shards", type=int, default=1,
                     help=">1: landmark-sharded dedup + edge-sharded "
                          "distributed-Schur joint GN over that many devices")
+    pf.add_argument("--solver", choices=["auto", "dd", "hier"],
+                    default="auto",
+                    help="joint-GN backend over the fused graph: auto = "
+                         "distributed Schur when --mesh-shards > 1 else "
+                         "single-device; dd = pose-chain domain "
+                         "decomposition; hier = two-level hierarchical "
+                         "solve (tray-local elimination on ICI, O(trays) "
+                         "boundary system across trays — the pod-scale "
+                         "path, parallel/hier.py)")
+    pf.add_argument("--tray", type=int, default=0,
+                    help="ICI-domain size for --solver hier (devices per "
+                         "tray; must divide the device count; 0 = largest "
+                         "divisor <= 16)")
     pf.add_argument("--gn-iterations", type=int, default=5)
     pf.add_argument("--no-align", action="store_true",
                     help="skip SE(2) registration (sessions already aligned)")

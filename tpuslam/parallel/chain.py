@@ -52,7 +52,7 @@ from tpuslam.geometry import se2
 
 __all__ = ["partition_edges_by_pose_block", "chain_gn_step", "chain_optimize",
            "ChainPlan", "partition_chain", "chain_gn_step_dd",
-           "assemble_pose_rows"]
+           "assemble_pose_rows", "default_tray"]
 
 
 def assemble_pose_rows(poses_l, odo_l, odo_w_sh, prior_pose_l, prior_info_l,
@@ -238,9 +238,15 @@ def _dd_runner(plan: "ChainPlan", cfg: gn.GNConfig, mesh):
     return run_dd
 
 
+def default_tray(n_dev: int, cap: int = 16) -> int:
+    """Largest divisor of n_dev <= cap — the default ICI-domain (tray) size
+    for the hierarchical solver when the caller doesn't pin one."""
+    return max(t for t in range(1, min(cap, n_dev) + 1) if n_dev % t == 0)
+
+
 def chain_optimize(g: FactorGraph, cfg: gn.GNConfig, mesh,
                    edge_counts=None, solver: str = "replicated",
-                   plan: "ChainPlan | None" = None) -> FactorGraph:
+                   plan=None, tray: int | None = None) -> FactorGraph:
     """Full chain-parallel GN: partition edges once, iterate under jit.
 
     solver='replicated': every device all_gathers the reduced system and
@@ -248,9 +254,20 @@ def chain_optimize(g: FactorGraph, cfg: gn.GNConfig, mesh,
     comm O(P*L) per iteration). solver='dd': the distributed
     domain-decomposition solve (`chain_gn_step_dd`) — comm O(L + m^2) with
     m = 3*n_dev + 2*n_shared_landmarks (the block-boundary interface).
-    Pass a precomputed `plan` (from partition_chain) when re-solving the
-    same layout to reuse the compiled program.
+    solver='hier': the two-level nested-dissection solve
+    (`hier.chain_optimize_hier`) — tray-interior separators and tray-local
+    shared landmarks eliminated with a within-tray psum (ICI), only the
+    O(n_trays) boundary system crossing trays (DCN at pod scale); `tray`
+    is the ICI-domain size (default: largest divisor of the device count
+    <= 16, `default_tray`). Pass a precomputed `plan` (partition_chain /
+    partition_chain_hier) when re-solving the same layout to reuse the
+    compiled program.
     """
+    if solver == "hier":
+        from tpuslam.parallel.hier import chain_optimize_hier
+        if tray is None:
+            tray = default_tray(mesh.devices.size)
+        return chain_optimize_hier(g, cfg, mesh, tray, plan=plan)
     if solver == "dd":
         if plan is None:
             plan = partition_chain(g, mesh.devices.size)

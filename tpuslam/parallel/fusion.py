@@ -409,16 +409,31 @@ def fusion_report(report) -> dict:
 
 def fuse_sessions(stacked: FactorGraph, cfg: gn.GNConfig | None = None,
                   gate: float = 1.2, mesh=None, align: bool = True,
-                  align_iters: int = 8, dedup_iters: int = 8, lm_info=None):
+                  align_iters: int = 8, dedup_iters: int = 8, lm_info=None,
+                  solver: str = "auto", tray: int | None = None,
+                  solve_mesh=None):
     """S sessions -> one jointly optimized global map.
 
     stacked: FactorGraph with leading session axis [S] (stack_graphs).
     With `mesh`: the dedup adjacency is landmark-sharded over mesh['edges']
-    and the joint GN runs as the edge-sharded distributed Schur
-    (tpuslam/parallel/distributed.py). With `lm_info` ([S, L, 3] packed
-    per-landmark information, e.g. the sessions' SlamState.lm_info_xy):
-    merged positions are information-weighted (see fuse_graphs).
-    Returns (fused graph, report dict).
+    and (solver='auto') the joint GN runs as the edge-sharded distributed
+    Schur (tpuslam/parallel/distributed.py). With `lm_info` ([S, L, 3]
+    packed per-landmark information, e.g. the sessions' SlamState.
+    lm_info_xy): merged positions are information-weighted (see
+    fuse_graphs). Returns (fused graph, report dict).
+
+    solver selects the joint-GN backend over the fused graph:
+      'auto'   — distributed Schur when `mesh` is given, else single-device
+                 gn.optimize (the historical behavior);
+      'dd'     — pose-chain domain decomposition over a ('chain',) mesh
+                 (chain.chain_optimize solver='dd');
+      'hier'   — the two-level hierarchical solve (hier.chain_optimize_hier;
+                 tray = ICI-domain size, default chain.default_tray) — the
+                 pod-scale path: tray-local elimination rides ICI, only the
+                 O(n_trays) boundary system crosses trays.
+    For 'dd'/'hier' the solve runs over `solve_mesh` (a ('chain',) mesh) or,
+    if omitted, a fresh chain mesh over all visible devices; the fused pose
+    capacity S*P must divide by its device count.
 
     `align` is for sessions that do NOT share an absolute frame (differing
     GPS references, dead-reckoned runs). Sessions anchored by GPS priors in
@@ -447,10 +462,21 @@ def fuse_sessions(stacked: FactorGraph, cfg: gn.GNConfig | None = None,
     fused, report = fuse_graphs(stacked, gate, mesh=mesh,
                                 dedup_iters=dedup_iters, lm_info=lm_info)
     report = dict(report, tforms=tforms, n_align_matched=n_matched)
+    if solver not in ("auto", "dd", "hier"):
+        raise ValueError(f"unknown fusion solver {solver!r} "
+                         "(auto | dd | hier)")
     if cfg is not None:
-        if mesh is not None:
+        if solver in ("dd", "hier"):
+            from tpuslam.parallel.chain import chain_optimize
+            if solve_mesh is None:
+                from tpuslam.parallel.mesh import make_chain_mesh
+                solve_mesh = make_chain_mesh(len(jax.devices()))
+            fused = chain_optimize(fused, cfg, solve_mesh, solver=solver,
+                                   tray=tray)
+        elif mesh is not None:
             from tpuslam.parallel.distributed import distributed_optimize
             fused = distributed_optimize(fused, cfg, mesh)
         else:
             fused = gn.optimize(fused, cfg)
+    report["solver"] = solver
     return fused, report
