@@ -499,3 +499,38 @@ def test_pick_compact_is_host_only_and_hoistable():
 
     ys = np.asarray(run())
     assert ys.shape == (2,) and (ys > 0).all()
+
+
+def test_blocked_midblock_gn_decouples_cadence():
+    """VERDICT r4 next #3: periodic_gn_every DIVIDING the block size runs
+    mid-block multi-fire (enable-gated fixed-lag solves anchored at each
+    firing frame's committed counts, window_gn_step end/end_obs) instead of
+    falling back per-frame. Contract: same decision structure as the
+    per-frame engine and accuracy at least as good (the publish re-refine
+    sees the block-final post-firing map, which is never staler than the
+    per-frame path's newest-past-firing map plus the documented <= block-1
+    lag)."""
+    from tpuslam.sim.simulator import ate
+    track = trackdrive(seed=11)
+    scen = simulate(track, SimConfig(laps=1.4, keyframe_dt=0.1, speed=8.0,
+                                     max_range=20.0, seed=12))
+    T = len(scen.times)
+    cap = GraphCapacity(max_poses=max(64, 1 << (T - 1).bit_length()),
+                        max_landmarks=256, max_obs=8192)
+    obs = jnp.asarray(scen.obs, jnp.float32)
+    valid = jnp.asarray(scen.obs_valid)
+    poses = jnp.asarray(scen.odom_poses, jnp.float32)
+    for every, block in ((8, 32), (16, 32)):
+        cfg = SlamConfig.improved(capacity=cap, periodic_gn_every=every)
+        s_b, o_b = run_sequence_blocked(initial_state(cap), obs, valid,
+                                        poses, cfg, block=block)
+        s_f, o_f = run_sequence(initial_state(cap), obs, valid, poses, cfg)
+        assert bool(s_b.loop_closure_complete) and \
+            bool(s_f.loop_closure_complete)
+        # same structure up to refinement-lag association differences
+        assert abs(int(s_b.graph.n_landmarks)
+                   - int(s_f.graph.n_landmarks)) <= 3, (every, block)
+        assert int(s_b.graph.n_poses) == int(s_f.graph.n_poses)
+        a_b = ate(np.asarray(o_b.pose)[:, :2], scen.gt_poses[:, :2])
+        a_f = ate(np.asarray(o_f.pose)[:, :2], scen.gt_poses[:, :2])
+        assert a_b <= a_f + 5e-3, (every, block, a_b, a_f)

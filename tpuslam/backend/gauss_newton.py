@@ -469,7 +469,7 @@ def gn_step(g: FactorGraph, cfg: GNConfig) -> FactorGraph:
 
 def window_gn_step(g: FactorGraph, cfg: GNConfig, window: int,
                    edge_window: int, landmarks: bool = True,
-                   lm_prior=None) -> FactorGraph:
+                   lm_prior=None, end=None, end_obs=None) -> FactorGraph:
     """One fixed-lag GN iteration: refine the trailing `window` poses (and,
     with `landmarks=True`, the map) with everything older marginalized.
 
@@ -519,7 +519,14 @@ def window_gn_step(g: FactorGraph, cfg: GNConfig, window: int,
     """
     W, EW = window, edge_window
     dtype = g.poses.dtype
-    n = g.n_poses
+    # `end`/`end_obs` (traced, optional) re-anchor the window at a PAST
+    # pose/edge count instead of the graph head — the blocked pipeline's
+    # mid-block firings refine the window that ended at the firing frame
+    # (poses/edges committed later are excluded from the system and get
+    # exact-zero updates; landmarks with no edge before `end_obs` collapse
+    # to identity rows, so later-created landmarks are untouched too)
+    n = g.n_poses if end is None else end
+    e_stop = g.n_obs if end_obs is None else end_obs
     w0 = jnp.maximum(n - W, 0)
     poses_w = jax.lax.dynamic_slice(g.poses, (w0, 0), (W, 3))
     odo_meas_w = jax.lax.dynamic_slice(g.odo_meas, (w0, 0), (W, 3))
@@ -561,13 +568,13 @@ def window_gn_step(g: FactorGraph, cfg: GNConfig, window: int,
 
     # ---- trailing landmark edges
     L = g.capacity.max_landmarks
-    e0 = jnp.maximum(g.n_obs - EW, 0)
+    e0 = jnp.maximum(e_stop - EW, 0)
     op = jax.lax.dynamic_slice(g.obs_pose, (e0,), (EW,))
     ol = jax.lax.dynamic_slice(g.obs_lm, (e0,), (EW,))
     oxy = jax.lax.dynamic_slice(g.obs_xy, (e0, 0), (EW, 2))
     ke = e0 + jnp.arange(EW)
     w_l = jnp.asarray(cfg.lm_info, dtype) * \
-        ((ke < g.n_obs) & (op >= w0)).astype(dtype)
+        ((ke < e_stop) & (op >= w0)).astype(dtype)
     local = jnp.clip(op - w0, 0, W - 1)
     r_l, j_lp, j_ll = landmark_residuals(poses_w[local], g.lm_xy[ol], oxy)
     wl3 = w_l[:, None, None]
@@ -596,7 +603,7 @@ def window_gn_step(g: FactorGraph, cfg: GNConfig, window: int,
             # W/gl from in-window edges only; Schur-eliminate as usual
             kl = jnp.arange(L)
             e_all = g.obs_pose.shape[0]
-            ve = (jnp.arange(e_all) < g.n_obs).astype(dtype)
+            ve = (jnp.arange(e_all) < e_stop).astype(dtype)
             onehot_tot = (g.obs_lm[None, :] == kl[:, None]).astype(dtype)
             n_tot = onehot_tot @ ve                              # [L]
             free_lm = (kl >= cfg.fix_first_landmarks) & (kl < g.n_landmarks)
@@ -625,7 +632,7 @@ def window_gn_step(g: FactorGraph, cfg: GNConfig, window: int,
                 # restoring gradient of the marginalized-information prior
                 # (mean = start-of-firing estimate); n_out = total obs minus
                 # in-window obs per landmark
-                ve_in = ((ke < g.n_obs) & (op >= w0)).astype(dtype)
+                ve_in = ((ke < e_stop) & (op >= w0)).astype(dtype)
                 n_out = jnp.maximum(n_tot - onehot_l @ ve_in, 0.0)
                 gl = gl + (jnp.asarray(cfg.lm_info, dtype) * n_out
                            * flm)[:, None] * (g.lm_xy - lm_prior)
@@ -653,7 +660,8 @@ def window_gn_step(g: FactorGraph, cfg: GNConfig, window: int,
                                    "landmarks"))
 def optimize_window(g: FactorGraph, cfg: GNConfig, window: int,
                     edge_window: int, enable=None,
-                    landmarks: bool = True) -> FactorGraph:
+                    landmarks: bool = True, end=None,
+                    end_obs=None) -> FactorGraph:
     """`optimize`'s loop shell around `window_gn_step` (fixed-lag
     refinement). Straight-line per iteration — no bucketing, no lax.switch —
     so it is safe inside scans and under vmap; `enable=False` is an exact
@@ -663,7 +671,11 @@ def optimize_window(g: FactorGraph, cfg: GNConfig, window: int,
     anchored at the ENTRY estimate (the previous firing's posterior — see
     window_gn_step's docstring), so out-of-window observations exert a true
     restoring force across the firing's iterations instead of only damping
-    the step (ADVICE r3)."""
+    the step (ADVICE r3).
+
+    `end`/`end_obs` (traced, optional) anchor the window at a past
+    pose/edge count instead of the graph head — the blocked pipeline's
+    mid-block firings (see window_gn_step)."""
     iters = jnp.int32(cfg.iterations)
     if enable is not None:
         iters = jnp.where(enable, iters, 0)
@@ -678,7 +690,8 @@ def optimize_window(g: FactorGraph, cfg: GNConfig, window: int,
     def body(carry):
         gg, i, _ = carry
         g2 = window_gn_step(gg, cfg, window, edge_window,
-                            landmarks=landmarks, lm_prior=lm_prior)
+                            landmarks=landmarks, lm_prior=lm_prior,
+                            end=end, end_obs=end_obs)
         delta = jnp.maximum(jnp.max(jnp.abs(g2.poses - gg.poses)),
                             jnp.max(jnp.abs(g2.lm_xy - gg.lm_xy)))
         return g2, i + 1, delta

@@ -55,17 +55,31 @@ tests/test_blocked_equivalence.py; the improved mode's GPS/heading priors
 are supported (the closure frame's published pose/packet are patched to the
 post-GN graph). The full improved mode is also blocked:
 
-- **Periodic GN** (cfg.periodic_gn_every = k > 0): supported when k is a
-  whole number of blocks (k % block == 0), so every firing boundary lands
-  on a block's LAST committed frame — the scan body then runs one
-  enable-gated `gn.optimize` per block (zero-trip on non-boundary blocks)
-  and execution is bit-exact vs the per-frame path: non-firing frames see
-  exactly the map the per-frame path showed them (GN only ever ran at
-  block boundaries), and the firing frame's published pose/packet are
-  patched to the post-GN graph in-body. Boundaries that land mid-block at
-  runtime (GPS-outlier frames shift keyframe_count, or a boundary
+- **Periodic GN** (cfg.periodic_gn_every = k > 0): supported in TWO
+  regimes. (a) k a whole number of blocks (k % block == 0): every firing
+  boundary lands on a block's LAST committed frame — the scan body runs
+  one enable-gated `gn.optimize` per block (zero-trip on non-boundary
+  blocks) and execution is bit-exact vs the per-frame path: non-firing
+  frames see exactly the map the per-frame path showed them (GN only ever
+  ran at block boundaries), and the firing frame's published pose/packet
+  are patched to the post-GN graph in-body. Boundaries that land mid-block
+  at runtime (GPS-outlier frames shift keyframe_count, or a boundary
   coincides with the closure frame) raise the block's fallback flag and
   the per-frame path finishes the lap — never on a healthy lap.
+  (b) **Mid-block firing** (block % k == 0, fixed-lag window configured):
+  each block runs up to block/k enable-gated `gn.optimize_window` solves
+  AFTER its mapping, in chronological firing order, each anchored at its
+  firing frame's committed pose/edge counts (`window_gn_step` end/end_obs)
+  — the window refined is exactly the one the per-frame path refined at
+  that boundary. This decouples the GN cadence from the block size
+  (VERDICT r4 next #3): the throughput-optimal block keeps its batched
+  association while accuracy keeps the tight cadence. The documented
+  approximation: frames between a mid-block firing and the end of its
+  block associate/publish against the pre-firing map (refinement becomes
+  visible next block — the same <= block-1 frame lag the mahalanobis info
+  contract accepts), so equivalence vs per-frame is structural + close
+  estimates, not bit-exact (tests/test_blocked_equivalence.py midblock
+  tests). A firing inside the closure block falls back, as in (a).
 - **Mahalanobis association** (cfg.association = 'mahalanobis'): the
   phase-A gate uses the block-START `lm_info_xy` (per-frame semantics
   accumulate within the frame stream, so blocked gating lags by at most
@@ -105,7 +119,7 @@ from tpuslam.backend import gauss_newton as gn
 from tpuslam.backend import graph as G
 from tpuslam.frontend.keyframe import (
     KeyframeOutputs, _body_xy, _gate_cost, _gn_config, _obs_information,
-    _pose_refine, _prefix_argmin_exclusive, perform_keyframe,
+    _pose_refine, _prefix_argmin_exclusive, _publish_refine, perform_keyframe,
 )
 from tpuslam.frontend.state import SlamState
 from tpuslam.geometry import se2
@@ -116,15 +130,32 @@ __all__ = ["run_sequence_blocked", "run_pass_blocked", "blocked_supported",
            "blocked_core"]
 
 
+def _midblock_gn(cfg: SlamConfig, block: int) -> bool:
+    """True when periodic GN fires at SUB-boundaries inside a block: the
+    firing cadence divides the block size, so each block runs up to
+    block/periodic_gn_every enable-gated fixed-lag solves, each anchored at
+    its firing frame's committed pose/edge counts (window_gn_step
+    end/end_obs). Decouples the accuracy cadence from the throughput block
+    size (VERDICT r4 next #3) at the documented approximation: frames after
+    a mid-block firing associate/publish against the pre-firing map (the
+    refinement becomes visible at the next block — the same <= block-1
+    frame lag the mahalanobis info contract already accepts)."""
+    return (0 < cfg.periodic_gn_every < block
+            and block % cfg.periodic_gn_every == 0
+            and cfg.periodic_gn_window > 0)
+
+
 def blocked_supported(cfg: SlamConfig, block: int = 8) -> bool:
     """Configs the block-fast path reproduces (module docstring has the
-    mahalanobis lag contract; everything else is bit-exact)."""
+    mahalanobis lag contract and the mid-block firing contract; everything
+    else is bit-exact)."""
     return (cfg.association in ("first", "nearest", "mahalanobis")
             and not (cfg.use_pallas_association
                      and cfg.association == "first")
             and cfg.vectorized_mapping
             and (cfg.periodic_gn_every == 0
-                 or cfg.periodic_gn_every % block == 0))
+                 or cfg.periodic_gn_every % block == 0
+                 or _midblock_gn(cfg, block)))
 
 
 def _last_valid_inclusive(init, has, val):
@@ -400,8 +431,10 @@ def _mapping_block(state: SlamState, obs, valid, poses, okp,
     `ablate` (measurement-only, scripts/exp_byte_budget.py) disables a
     subsystem to attribute its HBM traffic/FLOPs via XLA cost-analysis
     deltas: 'dup' (in-block duplicate pair machinery), 'assoc' (phase-A
-    gating), 'packet' (cone-packet series), 'edges' (edge append). Results
-    are WRONG under ablation — never set it in production paths.
+    gating), 'packet' (cone-packet series), 'edges' (edge append),
+    'transforms' (global/body coordinate transforms), 'closure' (loop-
+    closure detection prefix machinery). Results are WRONG under ablation
+    — never set it in production paths.
 
     Returns (new_state, outputs [B], aux dict).
     """
@@ -421,10 +454,14 @@ def _mapping_block(state: SlamState, obs, valid, poses, okp,
     fidx = jnp.arange(B, dtype=jnp.int32)
     valid_k = (valid & okp[:, None]).reshape(BN)
     obs_k = obs.reshape(BN, 4)
-    glob_k = jax.vmap(lambda p, ob: cone_to_global(
-        p, ob[..., 0], ob[..., 1], ob[..., 2], cfg.lidar_to_cog,
-        cfg.reference_compat))(poses, obs).reshape(BN, 2)
-    body_k = _body_xy(obs, cfg).reshape(BN, 2)
+    if "transforms" in ablate:   # measurement-only: global/body transforms
+        glob_k = jnp.zeros((BN, 2), obs.dtype)
+        body_k = jnp.zeros((BN, 2), obs.dtype)
+    else:
+        glob_k = jax.vmap(lambda p, ob: cone_to_global(
+            p, ob[..., 0], ob[..., 1], ob[..., 2], cfg.lidar_to_cog,
+            cfg.reference_compat))(poses, obs).reshape(BN, 2)
+        body_k = _body_xy(obs, cfg).reshape(BN, 2)
     otype_k = obs_k[:, 3].astype(jnp.int32)
     d2car_k = obs_k[:, 2]
 
@@ -516,23 +553,27 @@ def _mapping_block(state: SlamState, obs, valid, poses, okp,
     # unsuppressed carry is identical to the committed one up to and
     # including the first closure obs, which is all detection needs.
     target_f = target.reshape(B, N)
-    vals_cl = jnp.where(matched_pf, d2car_k, jnp.inf).reshape(B, N)
-    pm_cl, pi_cl = jax.vmap(_prefix_argmin_exclusive, in_axes=(0, None))(
-        vals_cl, jnp.arange(N, dtype=jnp.int32))
-    cur_cand_uns = matched_pf | (dup_same & slot_ok)
-    vals_uns = jnp.where(cur_cand_uns, d2car_k, jnp.inf).reshape(B, N)
-    fsel_uns = target_f[jnp.arange(B), jnp.argmin(vals_uns, axis=1)]
-    cur_after_uns = _last_valid_inclusive(
-        state.current_cone_index, jnp.min(vals_uns, axis=1) < 100.0, fsel_uns)
-    cur_start_uns = _exclusive_from_inclusive(cur_after_uns,
-                                              state.current_cone_index)
-    in_frame_tgt = target_f[frame_of, jnp.maximum(pi_cl.reshape(BN), 0)]
-    cur_before = jnp.where(pm_cl.reshape(BN) < 100.0, in_frame_tgt,
-                           cur_start_uns[frame_of])
-    dfirst2 = jnp.sum((target_xy - g.lm_xy[0]) ** 2, axis=-1)
-    closure0 = (matched_pf & (dfirst2 < cfg.loop_closure_radius ** 2)
-                & (cur_before > cfg.loop_closure_min_index)
-                & (d2car_k < cfg.cone_mapping_threshold))
+    if "closure" in ablate:   # measurement-only: detection prefix machinery
+        closure0 = jnp.zeros((BN,), bool)
+    else:
+        vals_cl = jnp.where(matched_pf, d2car_k, jnp.inf).reshape(B, N)
+        pm_cl, pi_cl = jax.vmap(_prefix_argmin_exclusive, in_axes=(0, None))(
+            vals_cl, jnp.arange(N, dtype=jnp.int32))
+        cur_cand_uns = matched_pf | (dup_same & slot_ok)
+        vals_uns = jnp.where(cur_cand_uns, d2car_k, jnp.inf).reshape(B, N)
+        fsel_uns = target_f[jnp.arange(B), jnp.argmin(vals_uns, axis=1)]
+        cur_after_uns = _last_valid_inclusive(
+            state.current_cone_index, jnp.min(vals_uns, axis=1) < 100.0,
+            fsel_uns)
+        cur_start_uns = _exclusive_from_inclusive(cur_after_uns,
+                                                  state.current_cone_index)
+        in_frame_tgt = target_f[frame_of, jnp.maximum(pi_cl.reshape(BN), 0)]
+        cur_before = jnp.where(pm_cl.reshape(BN) < 100.0, in_frame_tgt,
+                               cur_start_uns[frame_of])
+        dfirst2 = jnp.sum((target_xy - g.lm_xy[0]) ** 2, axis=-1)
+        closure0 = (matched_pf & (dfirst2 < cfg.loop_closure_radius ** 2)
+                    & (cur_before > cfg.loop_closure_min_index)
+                    & (d2car_k < cfg.cone_mapping_threshold))
     closure_any = jnp.any(closure0)
     kc_obs = jnp.argmax(closure0).astype(jnp.int32)          # first closure obs
     kc_frame = jnp.where(closure_any, frame_of[kc_obs], jnp.int32(B))
@@ -628,7 +669,6 @@ def _mapping_block(state: SlamState, obs, valid, poses, okp,
         # 3x3 solves lower differently from the per-frame singles — the
         # flag's cross-path contract is f32-solve tolerance, not bit
         # equality; tests/test_blocked_equivalence.py::...publish_refine)
-        from tpuslam.frontend.keyframe import _publish_refine
         ref = jax.vmap(
             lambda p, l, mm, z: _publish_refine(p, l, mm, z, cfg))(
             poses, target_xy.reshape(B, N, 2), matched.reshape(B, N),
@@ -663,8 +703,15 @@ def _mapping_block(state: SlamState, obs, valid, poses, okp,
                 | (n_lm0 + boot.astype(jnp.int32) + n_new_total > cap_l))
     if overflow is not None:   # compaction dropped valid observations
         fallback = fallback | jnp.any(overflow & okp)
+    # per-frame committed pose / edge counts (mid-block window-GN firings
+    # anchor their windows at these — gauss_newton.window_gn_step end/end_obs)
+    n_pose_series = n_poses0 + jnp.cumsum(ins.astype(jnp.int32))
+    keep_pf = jnp.sum(keep.reshape(B, N).astype(jnp.int32), axis=1)
+    n_obs_series = jnp.minimum(
+        n_obs0 + boot.astype(jnp.int32) + jnp.cumsum(keep_pf), cap_e)
     aux = dict(closure_any=closure_any, kc_frame=kc_frame, fallback=fallback,
                cur_series=cur_after, n_lm_series=n_lm_after, ins=ins,
+               n_pose_series=n_pose_series, n_obs_series=n_obs_series,
                edge_rows=edge_rows,
                pub_rows=((target_f, matched.reshape(B, N))
                          if cfg.mapping_publish_refine else None))
@@ -875,21 +922,69 @@ def blocked_core(state: SlamState, obs_seq, valid_seq, pose_seq,
         if cfg.periodic_gn_every > 0:
             fires = periodic_fires(st.keyframe_count, aux["ins"],
                                    aux["n_lm_series"])
-            # a boundary mid-block, or coinciding with the closure frame
-            # (per-frame order: closure GN then periodic GN), -> fallback
-            fb = fb | (active & (jnp.any(fires[:-1])
-                                 | (fires[-1] & aux["closure_any"])))
-            do_p = fires[-1] & ~aux["closure_any"] & active & ~fb
-            if cfg.periodic_gn_window > 0:
-                # fixed-lag refinement: straight-line, scan-safe (the full
-                # optimize in-scan was the measured 24x pathology — VERDICT
-                # r2 weak #2; scripts/exp_periodic_gn.py)
-                g2 = gn.optimize_window(
-                    ns.graph, pcfg, cfg.periodic_gn_window,
-                    cfg.periodic_gn_edge_window, enable=do_p,
-                    landmarks=cfg.periodic_gn_window_landmarks)
+            if _midblock_gn(cfg, B):
+                # mid-block multi-fire (VERDICT r4 next #3): up to
+                # B/periodic_gn_every gated fixed-lag solves per block,
+                # each anchored at its firing frame's committed counts.
+                # Firings BEFORE the closure frame are chronologically
+                # consistent in-body (they precede the hoisted top-level
+                # closure GN; fires is cut at kc_frame via `ins`); only a
+                # firing exactly ON the closure frame falls back (the
+                # per-frame order runs the closure GN first there).
+                fire_on_kc = aux["closure_any"] & \
+                    fires[jnp.clip(aux["kc_frame"], 0, B - 1)]
+                fb = fb | (active & fire_on_kc)
+                gate = active & ~fb
+                order = jnp.argsort(~fires, stable=True).astype(jnp.int32)
+                g2 = ns.graph
+                for jj in range(B // cfg.periodic_gn_every):
+                    fj = order[jj]
+                    g2 = gn.optimize_window(
+                        g2, pcfg, cfg.periodic_gn_window,
+                        cfg.periodic_gn_edge_window,
+                        enable=fires[fj] & gate,
+                        landmarks=cfg.periodic_gn_window_landmarks,
+                        end=aux["n_pose_series"][fj],
+                        end_obs=aux["n_obs_series"][fj])
+                if cfg.mapping_publish_refine:
+                    # frames after the block's FIRST firing re-refine their
+                    # published pose against the block-final post-firing
+                    # map (the per-frame path refines against the newest
+                    # past firing; using the final map keeps this to ONE
+                    # map read — load-bearing for the sharded twin, where
+                    # the read is a collective gather). Cone packets keep
+                    # the block-entry map (<= block-1 frame lag).
+                    tgt_b, mat_b = aux["pub_rows"]
+                    ref_f = jax.vmap(
+                        lambda pp, ll, mm, zz:
+                        _publish_refine(pp, ll, mm, zz, cfg))(
+                        p, g2.lm_xy[tgt_b], mat_b, _body_xy(o, cfg))
+                    fired_before = (jnp.cumsum(fires.astype(jnp.int32))
+                                    - fires.astype(jnp.int32)) > 0
+                    ready_b = (aux["n_pose_series"] - 1) \
+                        >= cfg.periodic_gn_every
+                    upd = gate & fired_before & ready_b
+                    outs = dataclasses.replace(
+                        outs, pose=jnp.where(upd[:, None], ref_f,
+                                             outs.pose))
+                do_p = fires[-1] & gate
             else:
-                g2 = gn.optimize(ns.graph, pcfg, enable=do_p)
+                # a boundary mid-block, or coinciding with the closure
+                # frame (per-frame order: closure GN then periodic GN),
+                # -> fallback
+                fb = fb | (active & (jnp.any(fires[:-1])
+                                     | (fires[-1] & aux["closure_any"])))
+                do_p = fires[-1] & ~aux["closure_any"] & active & ~fb
+                if cfg.periodic_gn_window > 0:
+                    # fixed-lag refinement: straight-line, scan-safe (the
+                    # full optimize in-scan was the measured 24x pathology
+                    # — VERDICT r2 weak #2; scripts/exp_periodic_gn.py)
+                    g2 = gn.optimize_window(
+                        ns.graph, pcfg, cfg.periodic_gn_window,
+                        cfg.periodic_gn_edge_window, enable=do_p,
+                        landmarks=cfg.periodic_gn_window_landmarks)
+                else:
+                    g2 = gn.optimize(ns.graph, pcfg, enable=do_p)
             ns = dataclasses.replace(ns, graph=g2)
             if cfg.use_gps_prior and not cfg.mapping_publish_refine:
                 # the firing frame publishes its post-GN graph estimate
@@ -984,7 +1079,6 @@ def blocked_core(state: SlamState, obs_seq, valid_seq, pose_seq,
         # against the POST-closure-GN map (its in-step GN runs before the
         # publish); the blocked path hoists that GN, so re-run the refine
         # here with the optimized landmark rows
-        from tpuslam.frontend.keyframe import _publish_refine
         tgt_kc = prows1[0][i_c, kc_local]            # [N] global lm ids
         mat_kc = prows1[1][i_c, kc_local]            # [N]
         body_kc = _body_xy(obs_c[t_kc], cfg)
@@ -1024,9 +1118,30 @@ def blocked_core(state: SlamState, obs_seq, valid_seq, pose_seq,
         if cfg.periodic_gn_every > 0:
             n_lm_b = jnp.broadcast_to(ns.graph.n_landmarks, (B,))
             fires = periodic_fires(st.keyframe_count, aux2["okp"], n_lm_b)
-            fb = fb | (active & jnp.any(fires[:-1]))
-            do_p = fires[-1] & active & ~fb
-            if cfg.periodic_gn_window > 0:
+            if _midblock_gn(cfg, B):
+                # mid-block multi-fire (see body1); localization inserts
+                # poses only, so the edge anchor stays at the graph head
+                gate = active & ~fb
+                npose_s = st.graph.n_poses + jnp.cumsum(
+                    aux2["okp"].astype(jnp.int32))
+                order = jnp.argsort(~fires, stable=True).astype(jnp.int32)
+                g2 = ns.graph
+                for jj in range(B // cfg.periodic_gn_every):
+                    fj = order[jj]
+                    g2 = gn.optimize_window(
+                        g2, pcfg, cfg.periodic_gn_window,
+                        cfg.periodic_gn_edge_window,
+                        enable=fires[fj] & gate,
+                        landmarks=cfg.periodic_gn_window_landmarks,
+                        end=npose_s[fj])
+                do_p = fires[-1] & gate
+                ns = dataclasses.replace(ns, graph=g2)
+                if cfg.periodic_gn_window_landmarks:
+                    outs = patch_last_packet(outs, g2, n_lm_b[-1],
+                                             aux2["cur_series"][-1], do_p)
+            elif cfg.periodic_gn_window > 0:
+                fb = fb | (active & jnp.any(fires[:-1]))
+                do_p = fires[-1] & active & ~fb
                 g2 = gn.optimize_window(
                     ns.graph, pcfg, cfg.periodic_gn_window,
                     cfg.periodic_gn_edge_window, enable=do_p,
@@ -1039,6 +1154,8 @@ def blocked_core(state: SlamState, obs_seq, valid_seq, pose_seq,
                 # else: map untouched and the published pose is the (pre-GN)
                 # localizer pose — the outgoing packet is already exact
             else:
+                fb = fb | (active & jnp.any(fires[:-1]))
+                do_p = fires[-1] & active & ~fb
                 g2 = gn.optimize(ns.graph, pcfg, enable=do_p)
                 ns = dataclasses.replace(ns, graph=g2)
                 # published pose stays localizer-refined (computed pre-GN, as
@@ -1139,7 +1256,8 @@ def run_sequence_blocked(state: SlamState, obs_seq, valid_seq, pose_seq,
             "run_sequence_blocked: unsupported config (needs association in "
             "('first','nearest','mahalanobis'), no pallas association, "
             "vectorized mapping, periodic_gn_every a multiple of the block "
-            "size) — use run_sequence")
+            "size — or dividing it, with a fixed-lag window) — use "
+            "run_sequence")
     obs_seq, valid_seq, pose_seq, T = _pad_inputs(obs_seq, valid_seq,
                                                   pose_seq, cfg, block)
     # edge capacity below one block's rows: the mapping body cannot trace
