@@ -25,7 +25,8 @@ from __future__ import annotations
 
 import jax
 
-__all__ = ["collective_payload_bytes", "COLLECTIVE_PRIMS"]
+__all__ = ["collective_payload_bytes", "compiled_collective_count",
+           "COLLECTIVE_PRIMS"]
 
 COLLECTIVE_PRIMS = ("psum", "all_gather", "ppermute", "pmin", "pmax",
                     "all_to_all", "reduce_scatter")
@@ -96,6 +97,33 @@ def _walk(jaxpr, mult, out):
                 if sub is None:
                     continue
                 _walk(sub.jaxpr if hasattr(sub, "jaxpr") else sub, mult, out)
+
+
+def compiled_collective_count(fn, *args, **kwargs) -> dict:
+    """Count collective INSTRUCTIONS in the compiled (optimized) HLO — the
+    number of distinct collective launches the runtime actually issues per
+    execution of the program body (loops excluded: an instruction inside a
+    while/scan launches once per iteration; this counts program POINTS).
+
+    Why this exists next to `collective_payload_bytes`: a tupled
+    `jax.lax.psum((a, b), axis)` traces as SEPARATE psum eqns per leaf, and
+    XLA's all-reduce combiner merges compatible adjacent all-reduces — so
+    the jaxpr eqn count neither equals nor bounds the launch count. The
+    latency-bound analysis (SCALING online_frontend) needs the compiled
+    number."""
+    import re
+    compiled = jax.jit(fn).lower(*args, **kwargs).compile()
+    txt = compiled.as_text()
+    out = {}
+    for op in ("all-reduce", "all-gather", "reduce-scatter",
+               "collective-permute", "all-to-all"):
+        # count instruction definitions ("= <type> all-reduce(") plus
+        # started async forms ("-start("), not operand references
+        n = len(re.findall(rf"= [^=\n]*\s{op}(?:-start)?\(", txt))
+        if n:
+            out[op] = n
+    out["total_sites"] = sum(v for k, v in out.items() if k != "total_sites")
+    return out
 
 
 def collective_payload_bytes(fn, *args, while_mult: int = 1,

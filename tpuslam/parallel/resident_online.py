@@ -57,9 +57,10 @@ from tpuslam.frontend.blocked import (
     _compact_observations, _exclusive_from_inclusive, _inblock_duplicates,
     _last_valid_inclusive, _pose_insert_plan, _scatter_poses, _select_state,
 )
+from tpuslam.frontend.blocked import _midblock_gn
 from tpuslam.frontend.keyframe import (
     KeyframeOutputs, _body_xy, _gate_cost, _gn_config, _obs_information,
-    _pose_refine_rows, _prefix_argmin_exclusive,
+    _pose_refine_rows, _prefix_argmin_exclusive, _publish_refine,
 )
 from tpuslam.frontend.state import SlamState, initial_state
 from tpuslam.geometry import se2
@@ -82,7 +83,8 @@ def resident_online_supported(cfg: SlamConfig, block: int = 16) -> bool:
             and not cfg.use_pallas_association
             and cfg.vectorized_mapping
             and (cfg.periodic_gn_every == 0
-                 or (cfg.periodic_gn_every % block == 0
+                 or ((cfg.periodic_gn_every % block == 0
+                      or _midblock_gn(cfg, block))
                      and cfg.periodic_gn_window > 0
                      and cfg.periodic_gn_window_landmarks)))
 
@@ -100,15 +102,21 @@ def _gather_lm(gidx, base, Lb, axis, *arrs):
     device contribute, ONE tupled psum sums the one-hot parts of every
     array at once (the pass is collective-LATENCY bound at scale —
     SCALING_r04 online_frontend — so k arrays must not cost k launches).
-    gidx values >= L or < 0 return zero rows."""
+    Integer arrays are carried as f32 through the psum (values are landmark
+    types/ids, exact far below 2^24): XLA's all-reduce combiner only merges
+    all-reduces with an IDENTICAL reduction computation, so an s32 add next
+    to an f32 add would stay TWO launches (measured in the compiled HLO,
+    r5). gidx values >= L or < 0 return zero rows."""
     loc = gidx - base
     own = (loc >= 0) & (loc < Lb)
     locc = jnp.clip(loc, 0, Lb - 1)
+    dtypes = [a.dtype for a in arrs]
     parts = tuple(
         jnp.where(own.reshape(own.shape + (1,) * (a.ndim - 1)),
-                  a[locc], jnp.zeros((), a.dtype))
+                  a[locc], jnp.zeros((), a.dtype)).astype(jnp.float32)
         for a in arrs)
-    return list(jax.lax.psum(parts, axis))
+    summed = jax.lax.psum(parts, axis)
+    return [s.astype(dt) for s, dt in zip(summed, dtypes)]
 
 
 def _local_scatter_to(gidx, enable, base, Lb):
@@ -170,19 +178,24 @@ def _associate_resident(glob_k, otype_k, valid_k, lm_xy_l, lm_type_l,
     return j, matched, jnp.where(matched, gmin, jnp.inf), gate
 
 
-def _packet_gather_resident(lm_xy_l, lm_type_l, base, Lb, axis, n_lm_after,
-                            cur_after, cfg: SlamConfig, extra_xy_idx=None):
-    """Ring-packet rows gathered from the shards (reference ring wrap
-    src/slam.cpp:667 runs on GLOBAL ids). `extra_xy_idx` [M]: extra global
-    landmark ids whose xy rows ride the SAME psum launch (the
-    localizer-refine rows — the pass is collective-latency bound at scale,
-    SCALING_r04 online_frontend — one launch instead of two); returned as
-    a third output [M, 2]."""
-    k = jnp.arange(cfg.cones_per_packet)
+def _ring_idx(n_lm_after, cur_after, cones: int):
+    """Ring-packet global landmark ids [B, cones] (reference ring wrap
+    src/slam.cpp:667 on GLOBAL ids)."""
+    k = jnp.arange(cones)
     idx = cur_after[:, None] + k[None, :]
     n = jnp.maximum(n_lm_after, 1)[:, None]
     idx = jnp.where(idx < n, idx, idx - n)
-    idx = jnp.clip(idx, 0, n - 1)
+    return jnp.clip(idx, 0, n - 1)
+
+
+def _packet_gather_resident(lm_xy_l, lm_type_l, base, Lb, axis, n_lm_after,
+                            cur_after, cfg: SlamConfig, extra_xy_idx=None):
+    """Ring-packet rows gathered from the shards. `extra_xy_idx` [M]: extra
+    global landmark ids whose xy rows ride the SAME psum launch (the
+    localizer-refine rows — the pass is collective-latency bound at scale,
+    SCALING_r04 online_frontend — one launch instead of two); returned as
+    a third output [M, 2]."""
+    idx = _ring_idx(n_lm_after, cur_after, cfg.cones_per_packet)
     if extra_xy_idx is not None:
         flat = jnp.concatenate([idx.reshape(-1), extra_xy_idx])
         xy_all, ty_all = _gather_lm(flat, base, Lb, axis, lm_xy_l,
@@ -207,12 +220,20 @@ def _packet_series_resident(lm_xy_l, lm_type_l, base, Lb, axis, n_lm_after,
 def _mapping_block_resident(state: SlamState, lm_xy_l, lm_type_l, lm_info_l,
                             obs, valid, poses, okp, cfg: SlamConfig,
                             L_glob: int, axis: str, boot_ok=None,
-                            overflow=None):
+                            overflow=None, defer_packets: bool = False):
     """`frontend.blocked._mapping_block` with the landmark state sharded
     (state.graph carries the REPLICATED pose/edge arrays + global counters;
     lm shards are explicit). Same per-obs decision sequence — the [BN]
     machinery is shared code, only the [L]-touching steps go through the
-    shard helpers. Returns (new_state, lm shards, outputs [B], aux)."""
+    shard helpers. Returns (new_state, lm shards, outputs [B], aux).
+
+    `defer_packets` (static; only sound when NO in-scan GN moves landmark
+    positions, i.e. periodic_gn_every == 0): skip the per-block ring-packet
+    gather launch and return the ring ids in aux['pkt_idx'] instead — the
+    caller gathers ALL mapping frames' rows in ONE post-scan launch against
+    the (immutable through scan-1) positions. Values are identical; the
+    per-lap collective-launch count drops by one per block (the pass is
+    latency-bound at scale — VERDICT r4 next #5)."""
     g0 = state.graph
     B, N = valid.shape
     BN = B * N
@@ -360,16 +381,21 @@ def _mapping_block_resident(state: SlamState, lm_xy_l, lm_type_l, lm_info_l,
         # published-pose MAP refine (keyframe._publish_refine) — target_xy
         # was already assembled from the shards, so the refine itself is
         # shard-free replicated compute
-        from tpuslam.frontend.keyframe import _publish_refine
         ref = jax.vmap(
             lambda p, l, mm, z: _publish_refine(p, l, mm, z, cfg))(
             poses, target_xy.reshape(B, N, 2), matched.reshape(B, N),
             body_k.reshape(B, N, 2))
         ready = pose_idx_f >= cfg.periodic_gn_every   # first refresh ran
         out_pose = jnp.where(ready[:, None], ref, poses)
-    az, dist, ctype = _packet_series_resident(
-        lm_xy_l, lm_type_l, base, Lb, axis, n_lm_after, cur_after, out_pose,
-        cfg)
+    pkt_idx = None
+    if defer_packets:
+        pkt_idx = _ring_idx(n_lm_after, cur_after, cfg.cones_per_packet)
+        az = dist = jnp.zeros((B, cfg.cones_per_packet))
+        ctype = jnp.zeros((B, cfg.cones_per_packet), jnp.int32)
+    else:
+        az, dist, ctype = _packet_series_resident(
+            lm_xy_l, lm_type_l, base, Lb, axis, n_lm_after, cur_after,
+            out_pose, cfg)
     outputs = KeyframeOutputs(
         pose=out_pose, cone_azimuth=az, cone_distance=dist, cone_type=ctype,
         send=jnp.zeros((B,), bool),
@@ -391,8 +417,16 @@ def _mapping_block_resident(state: SlamState, lm_xy_l, lm_type_l, lm_info_l,
                 | (n_lm0 + boot.astype(jnp.int32) + n_new_total > L_glob))
     if overflow is not None:
         fallback = fallback | jnp.any(overflow & okp)
+    # per-frame committed pose / edge counts (mid-block window-GN firings —
+    # see frontend.blocked._midblock_gn)
+    n_pose_series = n_poses0 + jnp.cumsum(ins.astype(jnp.int32))
+    keep_pf = jnp.sum(keep.reshape(B, N).astype(jnp.int32), axis=1)
+    n_obs_series = jnp.minimum(
+        n_obs0 + boot.astype(jnp.int32) + jnp.cumsum(keep_pf), cap_e)
     aux = dict(closure_any=closure_any, kc_frame=kc_frame, fallback=fallback,
                cur_series=cur_after, n_lm_series=n_lm_after, ins=ins,
+               n_pose_series=n_pose_series, n_obs_series=n_obs_series,
+               pkt_idx=pkt_idx,
                pub_rows=((target_f, matched.reshape(B, N))
                          if cfg.mapping_publish_refine else None))
     return new_state, lm_xy_l, lm_type_l, lm_info_l, outputs, aux
@@ -400,8 +434,14 @@ def _mapping_block_resident(state: SlamState, lm_xy_l, lm_type_l, lm_info_l,
 
 def _loc_block_resident(state: SlamState, lm_xy_l, lm_type_l, lm_info_l,
                         obs, valid, poses, okp, cfg: SlamConfig,
-                        L_glob: int, axis: str, overflow=None):
-    """`frontend.blocked._loc_block` against the frozen sharded map."""
+                        L_glob: int, axis: str, overflow=None,
+                        defer_packets: bool = False):
+    """`frontend.blocked._loc_block` against the frozen sharded map.
+
+    `defer_packets` (static; sound when the map is frozen through scan-2:
+    periodic_gn_every == 0, and localizer refine off — the refine needs
+    its rows in-block): skip the ring gather, return ids in
+    aux['pkt_idx'] (see _mapping_block_resident)."""
     g0 = state.graph
     B, N = valid.shape
     BN = B * N
@@ -445,17 +485,26 @@ def _loc_block_resident(state: SlamState, lm_xy_l, lm_type_l, lm_info_l,
     # ONE gather launch serves both the ring packets and (when enabled)
     # the localizer-refine rows — the frozen map doesn't change in between
     n_lm = jnp.broadcast_to(g.n_landmarks, (B,))
-    ring_xy, ctype, lm_rows = _packet_gather_resident(
-        lm_xy_l, lm_type_l, base, Lb, axis, n_lm, cur_after, cfg,
-        extra_xy_idx=j if cfg.localizer_refine else None)
-    if cfg.localizer_refine:
-        out_pose = jax.lax.map(
-            lambda a: _pose_refine_rows(a[0], a[1], a[2], a[3]),
-            (poses, lm_rows.reshape(B, N, 2), matched.reshape(B, N),
-             body_k.reshape(B, N, 2)))
-        out_pose = jnp.where(ran[:, None], out_pose, poses)
-    else:
+    pkt_idx = None
+    if defer_packets:
+        assert not cfg.localizer_refine, \
+            "defer_packets needs the refine rows deferred too"
+        pkt_idx = _ring_idx(n_lm, cur_after, cfg.cones_per_packet)
+        ring_xy = jnp.zeros((B, cfg.cones_per_packet, 2))
+        ctype = jnp.zeros((B, cfg.cones_per_packet), jnp.int32)
         out_pose = poses
+    else:
+        ring_xy, ctype, lm_rows = _packet_gather_resident(
+            lm_xy_l, lm_type_l, base, Lb, axis, n_lm, cur_after, cfg,
+            extra_xy_idx=j if cfg.localizer_refine else None)
+        if cfg.localizer_refine:
+            out_pose = jax.lax.map(
+                lambda a: _pose_refine_rows(a[0], a[1], a[2], a[3]),
+                (poses, lm_rows.reshape(B, N, 2), matched.reshape(B, N),
+                 body_k.reshape(B, N, 2)))
+            out_pose = jnp.where(ran[:, None], out_pose, poses)
+        else:
+            out_pose = poses
 
     new_state = dataclasses.replace(
         state, graph=g, current_cone_index=cur_after[-1],
@@ -472,7 +521,8 @@ def _loc_block_resident(state: SlamState, lm_xy_l, lm_type_l, lm_info_l,
     fallback = (g0.n_poses + B > g0.poses.shape[0]) & jnp.any(okp)
     if overflow is not None:
         fallback = fallback | jnp.any(overflow & okp)
-    aux = dict(fallback=fallback, cur_series=cur_after, okp=okp)
+    aux = dict(fallback=fallback, cur_series=cur_after, okp=okp,
+               pkt_idx=pkt_idx)
     return new_state, outputs, aux
 
 
@@ -498,18 +548,19 @@ def _gn_step_sharded(g: G.FactorGraph, lm_xy_l, cfg: gn.GNConfig,
         local_ol = jnp.clip(g.obs_lm - base, 0, Lb - 1)
         h_diag_lm, w0, w1, hll, gp_lm, gl = gn._landmark_edge_blocks_split(
             g.poses, lm_xy_l, g.obs_pose, local_ol, g.obs_xy, w_l, Lb)
-        h_diag_lm, gp_lm = jax.lax.psum((h_diag_lm, gp_lm), axis)
-        h_diag = h_diag + h_diag_lm
-        gp = gp + gp_lm
 
-        # gauge (mirror _apply_gauge_blocked; landmark side by GLOBAL id)
+        # gauge (mirror _apply_gauge_blocked; landmark side by GLOBAL id).
+        # The landmark-side masks and the elimination below use only
+        # shard-LOCAL data, so the Hpp-row contributions and the eliminated
+        # reduced system ride ONE tupled psum launch (the pass is
+        # collective-latency bound — VERDICT r4 next #5); the pose-side
+        # gauge applies after the sum (elementwise mask, order-identical).
         kp = jnp.arange(P_)
         free_pose = (kp >= cfg.fix_first_poses) & (kp < g.n_poses)
         gid = base + jnp.arange(Lb)
         free_lm = (gid >= cfg.fix_first_landmarks) & (gid < g.n_landmarks)
         fpb = free_pose.astype(dtype)[:, None, None]
         eye3 = jnp.eye(3, dtype=dtype)
-        h_diag = h_diag * fpb + eye3 * (1.0 - fpb)
         pair = free_pose & jnp.roll(free_pose, 1)
         pair = pair.at[0].set(False)
         h_off = h_off * pair.astype(dtype)[:, None, None]
@@ -520,15 +571,13 @@ def _gn_step_sharded(g: G.FactorGraph, lm_xy_l, cfg: gn.GNConfig,
         eye2 = jnp.eye(2, dtype=dtype)
         flb = fl[:, None, None]
         hll = hll * flb + eye2 * (1.0 - flb)
-        gp = gp * free_pose.astype(dtype)[:, None]
         gl = gl * fl[:, None]
         if cfg.damping:
-            h_diag = h_diag + eye3 * jnp.asarray(cfg.damping, dtype) * fpb
             hll = hll + eye2 * jnp.asarray(cfg.damping, dtype) * flb
 
-        # Schur: local landmark elimination, psum'd reduced system. The
-        # clamped rows' identity Hll blocks would each contribute
-        # -wa@w^T = 0 (w columns are zeroed), so locality is exact.
+        # Schur: local landmark elimination. The clamped rows' identity
+        # Hll blocks would each contribute -wa@w^T = 0 (w columns are
+        # zeroed), so locality is exact.
         hll_inv = gn._inv2x2(hll)
         ia, ib, ic = hll_inv[:, 0, 0], hll_inv[:, 0, 1], hll_inv[:, 1, 1]
         wa0 = w0 * ia[None, :] + w1 * ib[None, :]
@@ -536,7 +585,14 @@ def _gn_step_sharded(g: G.FactorGraph, lm_xy_l, cfg: gn.GNConfig,
         gl0, gl1 = gl[:, 0], gl[:, 1]
         s_part = wa0 @ w0.T + wa1 @ w1.T                 # [3P, 3P]
         r_part = wa0 @ gl0 + wa1 @ gl1                   # [3P]
-        s_red, r_red = jax.lax.psum((s_part, r_part), axis)
+        h_diag_lm, gp_lm, s_red, r_red = jax.lax.psum(
+            (h_diag_lm, gp_lm, s_part, r_part), axis)
+        h_diag = h_diag + h_diag_lm
+        gp = gp + gp_lm
+        h_diag = h_diag * fpb + eye3 * (1.0 - fpb)
+        gp = gp * free_pose.astype(dtype)[:, None]
+        if cfg.damping:
+            h_diag = h_diag + eye3 * jnp.asarray(cfg.damping, dtype) * fpb
         hpp = gn.densify_hpp(h_diag, h_off)
         s = hpp - s_red
         rhs = -gp.reshape(-1) + r_red
@@ -556,7 +612,18 @@ def _gn_step_sharded(g: G.FactorGraph, lm_xy_l, cfg: gn.GNConfig,
 def _optimize_sharded(g: G.FactorGraph, lm_xy_l, cfg: gn.GNConfig,
                       L_glob: int, base, axis: str, enable=None):
     """`gn.optimize`'s loop shell around `_gn_step_sharded` (early exit on
-    the GLOBAL max |update| via pmax, so all shards agree on trip count)."""
+    the GLOBAL max |update| via pmax, so all shards agree on trip count).
+
+    The convergence check runs every SECOND iteration (pairs of gated GN
+    steps per while trip): the pmax is a separate scalar all-reduce launch
+    next to the step's tupled psum (different reduction computation — the
+    combiner can't merge them), and the pass is collective-latency bound
+    (VERDICT r4 next #5). Pair-stepping halves the pmax count; exit is
+    still conservative (never skips a needed iteration — it can only run
+    one extra step past convergence, which by the early-exit contract
+    moves the estimate by less than the tolerance). The second step of a
+    pair is gated on the remaining iteration budget so odd caps run
+    exactly `iterations` steps."""
     iters = jnp.int32(cfg.iterations)
     if enable is not None:
         iters = jnp.where(enable, iters, 0)
@@ -570,9 +637,16 @@ def _optimize_sharded(g: G.FactorGraph, lm_xy_l, cfg: gn.GNConfig,
     def body(carry):
         gg, lml, i, _ = carry
         g2, lm2 = _gn_step_sharded(gg, lml, cfg, L_glob, base, axis)
+        steps = jnp.int32(1)
+        if cfg.iterations > 1:      # pair-step (static): see docstring
+            second = (i + 1) < iters
+            g3, lm3 = _gn_step_sharded(g2, lm2, cfg, L_glob, base, axis)
+            g2 = jax.tree.map(lambda a, b: jnp.where(second, a, b), g3, g2)
+            lm2 = jnp.where(second, lm3, lm2)
+            steps = steps + second.astype(jnp.int32)
         delta = jnp.maximum(jnp.max(jnp.abs(g2.poses - gg.poses)),
                             jax.lax.pmax(jnp.max(jnp.abs(lm2 - lml)), axis))
-        return g2, lm2, i + 1, delta
+        return g2, lm2, i + steps, delta
 
     g_out, lm_out, _, _ = jax.lax.while_loop(
         cond, body, (g, lm_xy_l, jnp.int32(0),
@@ -582,14 +656,17 @@ def _optimize_sharded(g: G.FactorGraph, lm_xy_l, cfg: gn.GNConfig,
 
 def _window_gn_step_sharded(g: G.FactorGraph, lm_xy_l, cfg: gn.GNConfig,
                             window: int, edge_window: int, base, axis: str,
-                            lm_prior_l):
+                            lm_prior_l, end=None, end_obs=None):
     """`gn.window_gn_step(landmarks=True)` with the map sharded: landmark
     columns [.., Lb] local, ONE [3W+..] psum for the window's reduced
     system. Same marginalized-information prior (restoring gradient at the
-    firing-entry shard — backend/gauss_newton.py r4 fix)."""
+    firing-entry shard — backend/gauss_newton.py r4 fix). `end`/`end_obs`
+    re-anchor the window at a past pose/edge count (mid-block firings —
+    same contract as the dense window_gn_step)."""
     W, EW = window, edge_window
     dtype = g.poses.dtype
-    n = g.n_poses
+    n = g.n_poses if end is None else end
+    e_stop = g.n_obs if end_obs is None else end_obs
     Lb = lm_xy_l.shape[0]
     w0_ = jnp.maximum(n - W, 0)
     poses_w = jax.lax.dynamic_slice(g.poses, (w0_, 0), (W, 3))
@@ -629,13 +706,13 @@ def _window_gn_step_sharded(g: G.FactorGraph, lm_xy_l, cfg: gn.GNConfig,
     gp = gp + r_pr * jnp.stack([ixy, ixy, ith], axis=-1)
 
     # trailing landmark edges, weighted only on the owner shard
-    e0 = jnp.maximum(g.n_obs - EW, 0)
+    e0 = jnp.maximum(e_stop - EW, 0)
     op = jax.lax.dynamic_slice(g.obs_pose, (e0,), (EW,))
     ol = jax.lax.dynamic_slice(g.obs_lm, (e0,), (EW,))
     oxy = jax.lax.dynamic_slice(g.obs_xy, (e0, 0), (EW, 2))
     ke = e0 + jnp.arange(EW)
     own_e = (ol >= base) & (ol < base + Lb)
-    in_w = (ke < g.n_obs) & (op >= w0_)
+    in_w = (ke < e_stop) & (op >= w0_)
     w_le = jnp.asarray(cfg.lm_info, dtype) * \
         (in_w & own_e).astype(dtype)
     local = jnp.clip(op - w0_, 0, W - 1)
@@ -647,25 +724,21 @@ def _window_gn_step_sharded(g: G.FactorGraph, lm_xy_l, cfg: gn.GNConfig,
     hpp_e = (wl3 * (jtp @ j_lp)).reshape(EW, 9)
     hd_lm = (onehot_p @ hpp_e).reshape(W, 3, 3)
     gp_lm = onehot_p @ (w_le[:, None] * (jtp @ r_l[..., None])[..., 0])
-    hd_lm, gp_lm = jax.lax.psum((hd_lm, gp_lm), axis)
-    h_diag = h_diag + hd_lm
-    gp = gp + gp_lm
+    # hd_lm/gp_lm ride the SAME psum launch as the eliminated reduced
+    # system below (the elimination side is shard-local — VERDICT r4 next
+    # #5); the pose-side gauge applies after the sum (elementwise mask)
 
     free = (kg >= cfg.fix_first_poses) & (kg < n)
     fpb = free.astype(dtype)[:, None, None]
     eye3 = jnp.eye(3, dtype=dtype)
-    h_diag = h_diag * fpb + eye3 * (1.0 - fpb)
     prev_free = jnp.concatenate([jnp.zeros((1,), bool), free[:-1]])
     pair = (free & prev_free).astype(dtype)
     h_off = h_off * pair[:, None, None]
-    gp = gp * free.astype(dtype)[:, None]
-    if cfg.damping:
-        h_diag = h_diag + eye3 * jnp.asarray(cfg.damping, dtype) * fpb
 
     with jax.default_matmul_precision(cfg.matmul_precision):
         # Hll from TOTAL per-landmark counts (all edges, owner-masked)
         e_all = g.obs_pose.shape[0]
-        ve = ((jnp.arange(e_all) < g.n_obs)
+        ve = ((jnp.arange(e_all) < e_stop)
               & (g.obs_lm >= base) & (g.obs_lm < base + Lb)).astype(dtype)
         lol_all = jnp.clip(g.obs_lm - base, 0, Lb - 1)
         onehot_tot = (lol_all[None, :]
@@ -699,7 +772,8 @@ def _window_gn_step_sharded(g: G.FactorGraph, lm_xy_l, cfg: gn.GNConfig,
         gl = gl + (jnp.asarray(cfg.lm_info, dtype) * n_out
                    * flm)[:, None] * (lm_xy_l - lm_prior_l)
 
-        # local landmark elimination + ONE [3W,3W] psum
+        # local landmark elimination + ONE tupled psum for the whole
+        # window system (Hpp-row contributions + eliminated reduced parts)
         hll_inv = gn._inv2x2(hll)
         ia, ib, ic = hll_inv[:, 0, 0], hll_inv[:, 0, 1], hll_inv[:, 1, 1]
         wa0 = w0c * ia[None, :] + w1c * ib[None, :]
@@ -707,7 +781,14 @@ def _window_gn_step_sharded(g: G.FactorGraph, lm_xy_l, cfg: gn.GNConfig,
         gl0, gl1 = gl[:, 0], gl[:, 1]
         s_part = wa0 @ w0c.T + wa1 @ w1c.T
         r_part = wa0 @ gl0 + wa1 @ gl1
-        s_red, r_red = jax.lax.psum((s_part, r_part), axis)
+        hd_lm, gp_lm, s_red, r_red = jax.lax.psum(
+            (hd_lm, gp_lm, s_part, r_part), axis)
+        h_diag = h_diag + hd_lm
+        gp = gp + gp_lm
+        h_diag = h_diag * fpb + eye3 * (1.0 - fpb)
+        gp = gp * free.astype(dtype)[:, None]
+        if cfg.damping:
+            h_diag = h_diag + eye3 * jnp.asarray(cfg.damping, dtype) * fpb
         hpp = gn.densify_hpp(h_diag, h_off)
         s = hpp - s_red
         rhs = -gp.reshape(-1) + r_red
@@ -727,7 +808,7 @@ def _window_gn_step_sharded(g: G.FactorGraph, lm_xy_l, cfg: gn.GNConfig,
 
 def _optimize_window_sharded(g: G.FactorGraph, lm_xy_l, cfg: gn.GNConfig,
                              window: int, edge_window: int, base, axis: str,
-                             enable=None):
+                             enable=None, end=None, end_obs=None):
     iters = jnp.int32(cfg.iterations)
     if enable is not None:
         iters = jnp.where(enable, iters, 0)
@@ -742,7 +823,8 @@ def _optimize_window_sharded(g: G.FactorGraph, lm_xy_l, cfg: gn.GNConfig,
     def body(carry):
         gg, lml, i, _ = carry
         g2, lm2 = _window_gn_step_sharded(gg, lml, cfg, window, edge_window,
-                                          base, axis, lm_prior_l)
+                                          base, axis, lm_prior_l,
+                                          end=end, end_obs=end_obs)
         delta = jnp.maximum(jnp.max(jnp.abs(g2.poses - gg.poses)),
                             jax.lax.pmax(jnp.max(jnp.abs(lm2 - lml)), axis))
         return g2, lm2, i + 1, delta
@@ -770,6 +852,10 @@ def _pass_body(state: SlamState, lm_xy_l, lm_type_l, lm_info_l,
     base = jax.lax.axis_index(axis) * Lb
     closed0 = state.loop_closure_complete
     fidx = jnp.arange(B, dtype=jnp.int32)
+    # frozen-map packet deferral (VERDICT r4 next #5): with no in-scan GN
+    # the ring rows can be gathered ONCE per scan instead of once per block
+    defer1 = cfg.periodic_gn_every == 0
+    defer2 = cfg.periodic_gn_every == 0 and not cfg.localizer_refine
 
     if cfg.periodic_gn_every > 0:
         pcfg = dataclasses.replace(_gn_config(cfg),
@@ -803,17 +889,54 @@ def _pass_body(state: SlamState, lm_xy_l, lm_type_l, lm_info_l,
                & (jnp.abs(p[:, 1]) <= cfg.gps_outlier_bound) & active)
         ns, lmx2, lmt2, lmi2, outs, aux = _mapping_block_resident(
             st, lmx, lmt, lmi, o, v, p, okp, cfg, L_glob, axis,
-            boot_ok=fv, overflow=ov)
+            boot_ok=fv, overflow=ov, defer_packets=defer1)
         fb = aux["fallback"] & active
         if cfg.periodic_gn_every > 0:
             fires = periodic_fires(st.keyframe_count, aux["ins"],
                                    aux["n_lm_series"])
-            fb = fb | (active & (jnp.any(fires[:-1])
-                                 | (fires[-1] & aux["closure_any"])))
-            do_p = fires[-1] & ~aux["closure_any"] & active & ~fb
-            g2, lmx3 = _optimize_window_sharded(
-                ns.graph, lmx2, pcfg, cfg.periodic_gn_window,
-                cfg.periodic_gn_edge_window, base, axis, enable=do_p)
+            if _midblock_gn(cfg, B):
+                # mid-block multi-fire — mirrors frontend.blocked body1
+                # (same firing anchors, same one-gather publish re-refine,
+                # same fires-on-closure-frame fallback rule)
+                fire_on_kc = aux["closure_any"] & \
+                    fires[jnp.clip(aux["kc_frame"], 0, B - 1)]
+                fb = fb | (active & fire_on_kc)
+                gate = active & ~fb
+                order = jnp.argsort(~fires, stable=True).astype(jnp.int32)
+                g2, lmx3 = ns.graph, lmx2
+                for jj in range(B // cfg.periodic_gn_every):
+                    fj = order[jj]
+                    g2, lmx3 = _optimize_window_sharded(
+                        g2, lmx3, pcfg, cfg.periodic_gn_window,
+                        cfg.periodic_gn_edge_window, base, axis,
+                        enable=fires[fj] & gate,
+                        end=aux["n_pose_series"][fj],
+                        end_obs=aux["n_obs_series"][fj])
+                do_p = fires[-1] & gate
+                if cfg.mapping_publish_refine:
+                    tgt_b, mat_b = aux["pub_rows"]
+                    (rows_b,) = _gather_lm(tgt_b.reshape(-1), base,
+                                           lmx3.shape[0], axis, lmx3)
+                    ref_f = jax.vmap(
+                        lambda pp, ll, mm, zz:
+                        _publish_refine(pp, ll, mm, zz, cfg))(
+                        p, rows_b.reshape(B, -1, 2), mat_b,
+                        _body_xy(o, cfg))
+                    fired_before = (jnp.cumsum(fires.astype(jnp.int32))
+                                    - fires.astype(jnp.int32)) > 0
+                    ready_b = (aux["n_pose_series"] - 1) \
+                        >= cfg.periodic_gn_every
+                    upd = gate & fired_before & ready_b
+                    outs = dataclasses.replace(
+                        outs, pose=jnp.where(upd[:, None], ref_f,
+                                             outs.pose))
+            else:
+                fb = fb | (active & (jnp.any(fires[:-1])
+                                     | (fires[-1] & aux["closure_any"])))
+                do_p = fires[-1] & ~aux["closure_any"] & active & ~fb
+                g2, lmx3 = _optimize_window_sharded(
+                    ns.graph, lmx2, pcfg, cfg.periodic_gn_window,
+                    cfg.periodic_gn_edge_window, base, axis, enable=do_p)
             ns = dataclasses.replace(ns, graph=g2)
             if cfg.use_gps_prior and not cfg.mapping_publish_refine:
                 pl = g2.poses[jnp.maximum(g2.n_poses - 1, 0)]
@@ -832,15 +955,33 @@ def _pass_body(state: SlamState, lm_xy_l, lm_type_l, lm_info_l,
         m1 = committed & (~aux["closure_any"] | (fidx <= aux["kc_frame"]))
         prows = aux["pub_rows"] if cfg.mapping_publish_refine \
             else jnp.zeros((), jnp.int32)
+        pk = aux["pkt_idx"] if defer1 else jnp.zeros((), jnp.int32)
         ys = (outs, m1, fb & active, aux["closure_any"] & committed,
-              aux["kc_frame"], aux["cur_series"], aux["n_lm_series"], prows)
+              aux["kc_frame"], aux["cur_series"], aux["n_lm_series"], prows,
+              pk)
         return (st2, lmx2, lmt2, lmi2,
                 stopped | fb | (aux["closure_any"] & committed)), ys
 
     (state, lm_xy_l, lm_type_l, lm_info_l, _), \
-        (outs1, m1, fb1, cls1, kcf1, cur1, nlm1, prows1) = jax.lax.scan(
+        (outs1, m1, fb1, cls1, kcf1, cur1, nlm1, prows1, pkt1) = \
+        jax.lax.scan(
             body1, (state, lm_xy_l, lm_type_l, lm_info_l, closed0),
             (obs_b, valid_b, pose_b, fv_b, ov_b))
+
+    if defer1:
+        # deferred mapping-phase packets: ONE gather for the whole scan
+        # against the scan-1-end positions (immutable through scan-1 — the
+        # closure GN below is the first thing that moves landmarks)
+        C = cfg.cones_per_packet
+        xy_all, ty_all = _gather_lm(pkt1.reshape(-1), base, Lb, axis,
+                                    lm_xy_l, lm_type_l)
+        az1, d1 = global_to_body_spherical(
+            outs1.pose.reshape(Tp, 1, 3), xy_all.reshape(Tp, C, 2),
+            cfg.reference_compat)
+        outs1 = dataclasses.replace(
+            outs1, cone_azimuth=az1.reshape(nb, B, C),
+            cone_distance=d1.reshape(nb, B, C),
+            cone_type=ty_all.reshape(nb, B, C))
 
     closure_found = jnp.any(cls1)
     i_c = jnp.argmax(cls1).astype(jnp.int32)
@@ -863,7 +1004,6 @@ def _pass_body(state: SlamState, lm_xy_l, lm_type_l, lm_info_l,
     if cfg.mapping_publish_refine:
         # re-run the closure frame's publish refine against the POST-GN
         # shards (mirrors frontend.blocked's patch; rows gathered globally)
-        from tpuslam.frontend.keyframe import _publish_refine
         tgt_kc = prows1[0][i_c, kc_local]
         mat_kc = prows1[1][i_c, kc_local]
         (rows_kc,) = _gather_lm(tgt_kc, base, Lb, axis, lm_xy_l)
@@ -900,30 +1040,61 @@ def _pass_body(state: SlamState, lm_xy_l, lm_type_l, lm_info_l,
                & (jnp.abs(p[:, 1]) <= cfg.gps_outlier_bound)
                & (frames > kc_global) & active)
         ns, outs, aux2 = _loc_block_resident(
-            st, lmx, lmt, lmi, o, v, p, okp, cfg, L_glob, axis, overflow=ov)
+            st, lmx, lmt, lmi, o, v, p, okp, cfg, L_glob, axis, overflow=ov,
+            defer_packets=defer2)
         fb = aux2["fallback"]
         lmx2 = lmx
         if cfg.periodic_gn_every > 0:
             n_lm_b = jnp.broadcast_to(ns.graph.n_landmarks, (B,))
             fires = periodic_fires(st.keyframe_count, aux2["okp"], n_lm_b)
-            fb = fb | (active & jnp.any(fires[:-1]))
-            do_p = fires[-1] & active & ~fb
-            g2, lmx2 = _optimize_window_sharded(
-                ns.graph, lmx, pcfg, cfg.periodic_gn_window,
-                cfg.periodic_gn_edge_window, base, axis, enable=do_p)
+            if _midblock_gn(cfg, B):
+                # mid-block multi-fire (see body1); localization inserts
+                # poses only, so the edge anchor stays at the graph head
+                gate = active & ~fb
+                npose_s = st.graph.n_poses + jnp.cumsum(
+                    aux2["okp"].astype(jnp.int32))
+                order = jnp.argsort(~fires, stable=True).astype(jnp.int32)
+                g2, lmx2 = ns.graph, lmx
+                for jj in range(B // cfg.periodic_gn_every):
+                    fj = order[jj]
+                    g2, lmx2 = _optimize_window_sharded(
+                        g2, lmx2, pcfg, cfg.periodic_gn_window,
+                        cfg.periodic_gn_edge_window, base, axis,
+                        enable=fires[fj] & gate, end=npose_s[fj])
+                do_p = fires[-1] & gate
+            else:
+                fb = fb | (active & jnp.any(fires[:-1]))
+                do_p = fires[-1] & active & ~fb
+                g2, lmx2 = _optimize_window_sharded(
+                    ns.graph, lmx, pcfg, cfg.periodic_gn_window,
+                    cfg.periodic_gn_edge_window, base, axis, enable=do_p)
             ns = dataclasses.replace(ns, graph=g2)
             outs = patch_last_packet(outs, lmx2, lmt, n_lm_b[-1],
                                      aux2["cur_series"][-1], do_p)
         st2 = _select_state(fb, st, ns)
         lmx2 = jnp.where(fb, lmx, lmx2)
         m2 = active & ~fb & (frames > kc_global)
-        return (st2, lmx2, lmt, lmi, stopped | fb), (outs, m2, fb)
+        pk = aux2["pkt_idx"] if defer2 else jnp.zeros((), jnp.int32)
+        return (st2, lmx2, lmt, lmi, stopped | fb), (outs, m2, fb, pk)
 
-    (state, lm_xy_l, lm_type_l, lm_info_l, _), (outs2, m2, fb2) = \
+    (state, lm_xy_l, lm_type_l, lm_info_l, _), (outs2, m2, fb2, pkt2) = \
         jax.lax.scan(
             body2, (state, lm_xy_l, lm_type_l, lm_info_l,
                     jnp.asarray(False)),
             (jnp.arange(nb, dtype=jnp.int32), (obs_b, valid_b, pose_b, ov_b)))
+
+    if defer2:
+        # deferred localization packets: the map is frozen through scan-2
+        C = cfg.cones_per_packet
+        xy_all, ty_all = _gather_lm(pkt2.reshape(-1), base, Lb, axis,
+                                    lm_xy_l, lm_type_l)
+        az2, d2_ = global_to_body_spherical(
+            outs2.pose.reshape(Tp, 1, 3), xy_all.reshape(Tp, C, 2),
+            cfg.reference_compat)
+        outs2 = dataclasses.replace(
+            outs2, cone_azimuth=az2.reshape(nb, B, C),
+            cone_distance=d2_.reshape(nb, B, C),
+            cone_type=ty_all.reshape(nb, B, C))
 
     m2f = m2.reshape(Tp)
     outs2 = jax.tree.map(lambda x: x.reshape((Tp,) + x.shape[2:]), outs2)
@@ -1020,7 +1191,14 @@ def run_pass_resident_online(obs_seq, valid_seq, pose_seq, cfg: SlamConfig,
     state, lm_xy, lm_type, lm_info, outs, done_upto = resident_online_core(
         state, lm_xy, lm_type, lm_info, obs_p, valid_p, pose_p, cfg, mesh,
         block, axis, compact_obs=_pick_compact(valid_p))
-    # fold the (gathered) map back into the dense state for callers
+    # fold the map back into the dense state for callers — REPLICATED:
+    # the arrays come out of the core still sharded over mesh[axis], and
+    # both the per-frame completion below and dense downstream consumers
+    # index them with data-dependent gathers that a sharded operand rejects
+    from jax.sharding import NamedSharding
+    rep = NamedSharding(mesh, P())
+    lm_xy, lm_type, lm_info = (jax.device_put(a, rep)
+                               for a in (lm_xy, lm_type, lm_info))
     Lc = cfg.capacity.max_landmarks
     state = dataclasses.replace(
         state,
