@@ -332,7 +332,7 @@ def cmd_fuse(args):
             from tpuslam.parallel.mesh import make_slam_mesh
             mesh = make_slam_mesh(n_sessions=1,
                                   n_edge_shards=args.mesh_shards)
-    if args.solver in ("dd", "hier"):
+    if args.solver in ("dd", "hier", "hier3"):
         from tpuslam.parallel.mesh import make_chain_mesh
         n = args.mesh_shards if args.mesh_shards > 1 else len(jax.devices())
         if cap.max_poses * len(graphs) % n or cap.max_poses * len(graphs) // n < 3:
@@ -595,7 +595,7 @@ def main(argv=None):
     pf.add_argument("--mesh-shards", type=int, default=1,
                     help=">1: landmark-sharded dedup + edge-sharded "
                          "distributed-Schur joint GN over that many devices")
-    pf.add_argument("--solver", choices=["auto", "dd", "hier"],
+    pf.add_argument("--solver", choices=["auto", "dd", "hier", "hier3"],
                     default="auto",
                     help="joint-GN backend over the fused graph: auto = "
                          "distributed Schur when --mesh-shards > 1 else "
@@ -603,7 +603,9 @@ def main(argv=None):
                          "decomposition; hier = two-level hierarchical "
                          "solve (tray-local elimination on ICI, O(trays) "
                          "boundary system across trays — the pod-scale "
-                         "path, parallel/hier.py)")
+                         "path, parallel/hier.py); hier3 = three-level "
+                         "(trays -> pod boundary on ICI -> O(pods) system "
+                         "on DCN — the multi-pod path, parallel/hier3.py)")
     pf.add_argument("--tray", type=int, default=0,
                     help="ICI-domain size for --solver hier (devices per "
                          "tray; must divide the device count; 0 = largest "

@@ -246,7 +246,8 @@ def default_tray(n_dev: int, cap: int = 16) -> int:
 
 def chain_optimize(g: FactorGraph, cfg: gn.GNConfig, mesh,
                    edge_counts=None, solver: str = "replicated",
-                   plan=None, tray: int | None = None) -> FactorGraph:
+                   plan=None, tray: int | None = None,
+                   pod: int | None = None) -> FactorGraph:
     """Full chain-parallel GN: partition edges once, iterate under jit.
 
     solver='replicated': every device all_gathers the reduced system and
@@ -263,6 +264,18 @@ def chain_optimize(g: FactorGraph, cfg: gn.GNConfig, mesh,
     partition_chain_hier) when re-solving the same layout to reuse the
     compiled program.
     """
+    if solver == "hier3":
+        # three-level nested dissection (parallel/hier3.py): tray (ICI
+        # group) -> pod (all-ICI domain, default one v5e pod or the whole
+        # mesh if smaller) -> cross-pod. The multi-pod path.
+        from tpuslam.parallel.hier3 import chain_optimize_hier3
+        n = mesh.devices.size
+        if pod is None:
+            pod = min(n, 256)
+        if tray is None:
+            # at least two trays per pod so level 2 is non-degenerate
+            tray = default_tray(pod, cap=max(2, min(16, pod // 2)))
+        return chain_optimize_hier3(g, cfg, mesh, tray, pod, plan=plan)
     if solver == "hier":
         from tpuslam.parallel.hier import chain_optimize_hier
         if tray is None:

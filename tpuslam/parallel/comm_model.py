@@ -38,7 +38,8 @@ from dataclasses import dataclass
 
 __all__ = ["CommModel", "tier_bytes_per_iteration", "predict_times",
            "predict_efficiency", "hier_bytes_per_iteration",
-           "hier_comm_time", "flat_comm_time", "predict_efficiency_hier",
+           "hier_comm_time", "hier3_bytes_per_iteration", "hier3_comm_time",
+           "flat_comm_time", "predict_efficiency_hier",
            "predict_efficiency_weak", "online_comm_time",
            "predict_efficiency_weak_online"]
 
@@ -171,6 +172,63 @@ def predict_efficiency_hier(t_comp_1dev_s: float, D: int, tray: int, *,
     return t_comp_1dev_s / (D * t_d)
 
 
+def hier3_bytes_per_iteration(D: int, tray: int, pod: int, *,
+                              shared_per_boundary: float = 2.0) -> dict:
+    """Per-iteration payloads of a THREE-level nested dissection (VERDICT
+    r4 next #7): trays (ICI groups of `tray` chips) eliminate their
+    interiors with a within-tray psum; the tray-boundary systems of one
+    POD (`pod` chips — a v5e pod is one all-ICI domain of up to 256) are
+    summed and eliminated with a within-pod psum that STILL rides ICI;
+    only the O(n_pods) pod-boundary system crosses pods on DCN. This is
+    what the two-level scheme mis-prices: its level-2 charge assumes DCN
+    for every cross-tray byte, but within one pod that exchange is ICI.
+    """
+    G = tray
+    T_pod = max(pod // G, 1)        # trays per pod
+    n_pods = max(D // pod, 1)
+    c = shared_per_boundary
+    lsh = int(c * D)
+    lsh_t = int(c * (G - 1)) + 1
+    lsh_p = int(c * T_pod) + 1
+    lsh_x = int(c * n_pods) + 1
+    wt = 3 * (G - 1) + 2 * lsh_t                  # tray interior width
+    mk2 = 3 * T_pod + 2 * lsh_p                   # pod-level boundary
+    mk3 = 3 * n_pods + 3 + 2 * lsh_x              # cross-pod boundary
+    ms1 = wt + mk2 + mk3                          # level-1 sub-interface
+    ms2 = mk2 + mk3                               # level-2 sub-interface
+    return dict(
+        payload_psum_l1_ici=(ms1 * ms1 + ms1) * F32,
+        payload_psum_l2_ici=(ms2 * ms2 + ms2) * F32,
+        payload_psum_l3_dcn=(mk3 * mk3 + mk3 + lsh * 8) * F32,
+        n_collectives_ici=4, n_collectives_dcn=2,
+        ms1=ms1, ms2=ms2, mk3=mk3, lsh=lsh)
+
+
+def hier3_comm_time(D: int, tray: int, pod: int = 256, *,
+                    shared_per_boundary: float = 2.0,
+                    model: CommModel = CommModel(),
+                    iterations: int = 1) -> float:
+    """Per-solve comm time of the three-level solve: levels 1-2 ride ICI
+    (tray group, then pod group), level 3 crosses pods on DCN."""
+    pod = min(pod, D)
+    v = hier3_bytes_per_iteration(D, tray, pod,
+                                  shared_per_boundary=shared_per_boundary)
+    G = tray
+    T_pod = max(pod // G, 1)
+    n_pods = max(D // pod, 1)
+    ring_g = 2.0 * (G - 1) / G
+    ring_p = 2.0 * (T_pod - 1) / T_pod if T_pod > 1 else 0.0
+    ring_x = 2.0 * (n_pods - 1) / n_pods if n_pods > 1 else 0.0
+    return iterations * (
+        (ring_g * v["payload_psum_l1_ici"]
+         + ring_p * v["payload_psum_l2_ici"]) / model.ici_bw_bytes_per_s
+        + ring_x * v["payload_psum_l3_dcn"] / model.dcn_bw_bytes_per_s
+        + v["n_collectives_ici"] * model.collective_latency_s
+        * max(pod, 1) ** 0.5
+        + (v["n_collectives_dcn"] * model.dcn_latency_s
+           * max(n_pods, 1) ** 0.5 if n_pods > 1 else 0.0))
+
+
 def flat_comm_time(D: int, *, shared_per_boundary: float = 2.0,
                    model: CommModel = CommModel(),
                    iterations: int = 1, cross_domain: bool = True) -> float:
@@ -234,8 +292,13 @@ def predict_efficiency_weak(tier: str, t_comp_per_dev_s: float, D: int, *,
     """WEAK-scaling efficiency — the pod-scale-mapping regime (BASELINE
     config 5): the fleet's map/chain grows with D, per-device compute
     constant. eff = t_pd / (t_pd + t_comm(D)). Tiers: 'chain_dd_resident'
-    (flat interface, grows with D) or 'chain_dd_hier'."""
-    if tier == "chain_dd_hier":
+    (flat interface, grows with D), 'chain_dd_hier' (two-level), or
+    'chain_dd_hier3' (three-level; level-2 rides the pod's ICI)."""
+    if tier == "chain_dd_hier3":
+        t_comm = hier3_comm_time(D, tray,
+                                 shared_per_boundary=shared_per_boundary,
+                                 model=model, iterations=iterations)
+    elif tier == "chain_dd_hier":
         t_comm = hier_comm_time(D, tray,
                                 shared_per_boundary=shared_per_boundary,
                                 model=model, iterations=iterations)
