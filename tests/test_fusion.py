@@ -463,7 +463,8 @@ def test_fuse_sessions_solver_registry(session_pack):
     mesh = make_chain_mesh(8)
     npo = int(base.n_poses)
     nl = int(base.n_landmarks)
-    for solver, tray in (("dd", None), ("hier", 2), ("hier", None)):
+    for solver, tray in (("dd", None), ("hier", 2), ("hier", None),
+                         ("hier3", None)):
         out, rep = fusion.fuse_sessions(
             stacked, cfg=gncfg, gate=cfg.same_cone_threshold, align=False,
             solver=solver, tray=tray, solve_mesh=mesh)
@@ -476,3 +477,59 @@ def test_fuse_sessions_solver_registry(session_pack):
                                    atol=1e-2, err_msg=f"{solver}/{tray}")
     with pytest.raises(ValueError, match="unknown fusion solver"):
         fusion.fuse_sessions(stacked, cfg=gncfg, solver="nope")
+
+
+def test_fusion_robust_trim_beats_plain_on_drift():
+    """VERDICT r4 next #4: trimmed ICP (robust=True, best 75% of matched
+    pairs per iteration) must register drifted sessions at least as well
+    as the untrimmed alignment — measured 0.031 -> 0.020 m fused map
+    error on the 8-session bench configuration
+    (scripts/exp_drifted_fusion.py)."""
+    cap = GraphCapacity(max_poses=128, max_landmarks=128, max_obs=2048)
+    cfg = SlamConfig.improved(capacity=cap, association="mahalanobis",
+                              periodic_gn_every=0)
+    offs = [(0.0, 0.0, 0.0), (0.5, -0.4, 0.03), (-0.4, 0.3, -0.02)]
+    states, scens = _improved_sessions(3, cap, cfg, rigid_offsets=offs)
+    track_xy = scens[0].track.cones_xy
+    stacked = stack_graphs([st.graph for st in states])
+    lm_info = jnp.stack([st.lm_info_xy for st in states])
+    gncfg = gn.GNConfig(odo_info=cfg.odo_info, lm_info=cfg.lm_info,
+                        iterations=5, fix_first_poses=0,
+                        fix_first_landmarks=0)
+    plain, _ = fusion.fuse_sessions(stacked, cfg=gncfg, gate=2.0,
+                                    lm_info=lm_info)
+    robust, rep = fusion.fuse_sessions(stacked, cfg=gncfg, gate=2.0,
+                                       lm_info=lm_info, robust=True)
+    assert int(rep["n_align_matched"][1]) > 15
+    e_plain = _map_err(plain.lm_xy, plain.n_landmarks, track_xy)
+    e_rob = _map_err(robust.lm_xy, robust.n_landmarks, track_xy)
+    assert e_rob <= e_plain + 2e-3, (e_rob, e_plain)
+
+
+def test_estimate_se2_trimmed_rejects_outliers():
+    """Trimmed ICP recovers the transform when a quarter of the source
+    points are gross outliers that plain ICP lets drag the fit."""
+    rng = np.random.default_rng(5)
+    dst_xy, types = _rand_landmarks(rng, 80)
+    th = 0.2
+    c, s = np.cos(-th), np.sin(-th)
+    true_t = np.array([1.0, -1.5, th], np.float32)
+    shifted = np.asarray(dst_xy) - true_t[:2]
+    src = np.stack([c * shifted[:, 0] - s * shifted[:, 1],
+                    s * shifted[:, 0] + c * shifted[:, 1]], -1)
+    src += rng.normal(0, 0.02, src.shape)
+    # corrupt 20 points with ~1.5 m offsets (inside the 3 m gate, so the
+    # untrimmed fit cannot ignore them)
+    bad = rng.choice(80, 20, replace=False)
+    src[bad] += rng.normal(0, 1.5, (20, 2))
+    valid = jnp.ones(80, bool)
+    t_plain, _ = fusion.estimate_se2(
+        jnp.asarray(src, jnp.float32), types, valid, dst_xy, types, valid,
+        gate=3.0, iters=10)
+    t_trim, n = fusion.estimate_se2(
+        jnp.asarray(src, jnp.float32), types, valid, dst_xy, types, valid,
+        gate=3.0, iters=10, trim=0.75)
+    err_plain = float(jnp.linalg.norm(t_plain - jnp.asarray(true_t)))
+    err_trim = float(jnp.linalg.norm(t_trim - jnp.asarray(true_t)))
+    assert err_trim < 0.05, (err_trim, err_plain)
+    assert err_trim <= err_plain, (err_trim, err_plain)

@@ -48,7 +48,8 @@ from tpuslam.backend import gauss_newton as gn
 from tpuslam.backend.graph import FactorGraph, GraphCapacity, empty_graph
 
 __all__ = ["estimate_se2", "transform_graph", "align_to_anchor",
-           "fuse_graphs", "fuse_sessions", "fusion_report"]
+           "align_consensus_round", "fuse_graphs", "fuse_sessions",
+           "fusion_report"]
 
 _BIG = 1e30
 
@@ -64,9 +65,9 @@ def _apply_se2(t, xy):
     return jnp.stack([c * x - s * y + t[0], s * x + c * y + t[1]], axis=-1)
 
 
-@partial(jax.jit, static_argnames="iters")
+@partial(jax.jit, static_argnames=("iters", "trim"))
 def estimate_se2(src_xy, src_type, src_valid, dst_xy, dst_type, dst_valid,
-                 gate, iters: int = 8):
+                 gate, iters: int = 8, trim: float = 0.0):
     """SE(2) registering src landmarks onto dst landmarks (planar ICP).
 
     Each iteration: type-equal nearest-neighbour pairs within `gate`, then
@@ -74,6 +75,12 @@ def estimate_se2(src_xy, src_type, src_valid, dst_xy, dst_type, dst_valid,
     cross-covariance angle atan2(sum x∧y, sum x·y), translation from the
     matched centroids). Returns (tform [3] = (tx, ty, theta), n_matched).
     Fewer than 3 matches leaves the transform at identity for that step.
+
+    `trim` in (0, 1): TRIMMED ICP — each iteration keeps only the best
+    `trim` fraction of matched pairs by distance (classic TrICP), so
+    along-track mis-pairings on a repetitive cone layout stop dragging the
+    Kabsch update (VERDICT r4 next #4). 0 disables (all matches weighted
+    equally, the r4 behavior).
     """
     sv = src_valid
     dv = dst_valid
@@ -90,6 +97,15 @@ def estimate_se2(src_xy, src_type, src_valid, dst_xy, dst_type, dst_valid,
               & (d2 < gate_i * gate_i))
         j = jnp.argmin(jnp.where(ok, d2, _BIG), axis=1)
         matched = jnp.any(ok, axis=1)
+        if trim > 0.0:
+            d2_sel = jnp.take_along_axis(d2, j[:, None], axis=1)[:, 0]
+            vals = jnp.where(matched, d2_sel, jnp.inf)
+            n_m = jnp.sum(matched.astype(jnp.int32))
+            k = jnp.clip((n_m.astype(src_xy.dtype)
+                          * jnp.asarray(trim, src_xy.dtype))
+                         .astype(jnp.int32) - 1, 2, vals.shape[0] - 1)
+            thr = jnp.sort(vals)[k]
+            matched = matched & (d2_sel <= thr)
         w = matched.astype(src_xy.dtype)
         n = jnp.sum(w)
         wn = jnp.maximum(n, 1.0)
@@ -139,7 +155,7 @@ def transform_graph(g: FactorGraph, tform) -> FactorGraph:
 
 
 def align_to_anchor(stacked: FactorGraph, gate: float = 1.2,
-                    iters: int = 8):
+                    iters: int = 8, trim: float = 0.0):
     """Register every session of a stacked graph [S] onto session 0's map.
 
     Returns (stacked graph with sessions 1..S-1 rigidly moved, tforms [S,3],
@@ -147,6 +163,7 @@ def align_to_anchor(stacked: FactorGraph, gate: float = 1.2,
     overlap the anchor's track — the Formula-Student fleet case (many laps
     of one circuit). For chained registration (session s onto the merged
     map of 0..s-1), call estimate_se2/transform_graph incrementally.
+    `trim`: trimmed-ICP fraction (see estimate_se2).
     """
     anchor_xy = stacked.lm_xy[0]
     anchor_type = stacked.lm_type[0]
@@ -156,9 +173,39 @@ def align_to_anchor(stacked: FactorGraph, gate: float = 1.2,
         valid = jnp.arange(g_s.lm_xy.shape[0]) < g_s.n_landmarks
         return estimate_se2(g_s.lm_xy, g_s.lm_type, valid,
                             anchor_xy, anchor_type, anchor_valid,
-                            gate, iters=iters)
+                            gate, iters=iters, trim=trim)
 
     tforms, ns = jax.vmap(one)(stacked)
+    tforms = tforms.at[0].set(0.0)          # the anchor stays put
+    moved = jax.vmap(transform_graph)(stacked, tforms)
+    return moved, tforms, ns
+
+
+def align_consensus_round(stacked: FactorGraph, gate: float,
+                          iters: int = 8, trim: float = 0.0):
+    """One consensus re-registration round: each session re-registers onto
+    the UNION of every OTHER session's (already roughly aligned) landmarks.
+
+    Anchor-only registration (align_to_anchor) inherits the anchor
+    session's own noise as a floor; registering against the pooled S-1
+    other maps averages that noise away (generalized-Procrustes style).
+    Session 0 stays fixed to pin the gauge. Returns (moved stacked graph,
+    incremental tforms [S, 3], n_matched [S])."""
+    s, l_cap = stacked.lm_xy.shape[:2]
+    all_xy = stacked.lm_xy.reshape(s * l_cap, 2)
+    all_type = stacked.lm_type.reshape(s * l_cap)
+    all_valid = (jnp.arange(l_cap)[None, :]
+                 < stacked.n_landmarks[:, None]).reshape(s * l_cap)
+    sess_of = jnp.arange(s * l_cap) // l_cap
+
+    def one(s_idx, g_s: FactorGraph):
+        valid = jnp.arange(l_cap) < g_s.n_landmarks
+        dst_valid = all_valid & (sess_of != s_idx)
+        return estimate_se2(g_s.lm_xy, g_s.lm_type, valid,
+                            all_xy, all_type, dst_valid,
+                            gate, iters=iters, trim=trim)
+
+    tforms, ns = jax.vmap(one)(jnp.arange(s), stacked)
     tforms = tforms.at[0].set(0.0)          # the anchor stays put
     moved = jax.vmap(transform_graph)(stacked, tforms)
     return moved, tforms, ns
@@ -411,7 +458,8 @@ def fuse_sessions(stacked: FactorGraph, cfg: gn.GNConfig | None = None,
                   gate: float = 1.2, mesh=None, align: bool = True,
                   align_iters: int = 8, dedup_iters: int = 8, lm_info=None,
                   solver: str = "auto", tray: int | None = None,
-                  solve_mesh=None):
+                  solve_mesh=None, robust: bool = False,
+                  consensus_rounds: int = 0):
     """S sessions -> one jointly optimized global map.
 
     stacked: FactorGraph with leading session axis [S] (stack_graphs).
@@ -430,10 +478,22 @@ def fuse_sessions(stacked: FactorGraph, cfg: gn.GNConfig | None = None,
       'hier'   — the two-level hierarchical solve (hier.chain_optimize_hier;
                  tray = ICI-domain size, default chain.default_tray) — the
                  pod-scale path: tray-local elimination rides ICI, only the
-                 O(n_trays) boundary system crosses trays.
+                 O(n_trays) boundary system crosses trays;
+      'hier3'  — the three-level solve (hier3.chain_optimize_hier3): trays
+                 -> pod boundary (both on ICI) -> O(n_pods) system on DCN —
+                 the multi-pod path (valid past D = 256 where 'hier'
+                 degrades).
     For 'dd'/'hier' the solve runs over `solve_mesh` (a ('chain',) mesh) or,
     if omitted, a fresh chain mesh over all visible devices; the fused pose
     capacity S*P must divide by its device count.
+
+    Registration quality knobs (drifted sessions, VERDICT r4 next #4):
+    `robust=True` runs TRIMMED ICP (keep the best 75% of matched pairs per
+    iteration — along-track mis-pairings on a repetitive cone layout stop
+    dragging the Kabsch update); `consensus_rounds=k` follows the anchor
+    alignment with k generalized-Procrustes rounds re-registering each
+    session onto the pooled other sessions' maps (anchor-only registration
+    inherits the anchor session's own noise as a floor).
 
     `align` is for sessions that do NOT share an absolute frame (differing
     GPS references, dead-reckoned runs). Sessions anchored by GPS priors in
@@ -444,12 +504,20 @@ def fuse_sessions(stacked: FactorGraph, cfg: gn.GNConfig | None = None,
     fusion section).
     """
     if align:
+        trim = 0.75 if robust else 0.0
         stacked, tforms, n_matched = align_to_anchor(stacked, gate,
-                                                     iters=align_iters)
+                                                     iters=align_iters,
+                                                     trim=trim)
+        theta_tot = tforms[:, 2]
+        for _ in range(consensus_rounds):
+            stacked, dtf, n_matched = align_consensus_round(
+                stacked, gate, iters=align_iters, trim=trim)
+            theta_tot = theta_tot + dtf[:, 2]
         if lm_info is not None:
             # information rotates with the session: Lambda' = R Lambda R^T
-            c = jnp.cos(tforms[:, 2])[:, None]
-            s = jnp.sin(tforms[:, 2])[:, None]
+            # (theta_tot = anchor alignment + consensus increments)
+            c = jnp.cos(theta_tot)[:, None]
+            s = jnp.sin(theta_tot)[:, None]
             a, b, cc = lm_info[..., 0], lm_info[..., 1], lm_info[..., 2]
             lm_info = jnp.stack(
                 [c * c * a - 2 * c * s * b + s * s * cc,
@@ -462,11 +530,11 @@ def fuse_sessions(stacked: FactorGraph, cfg: gn.GNConfig | None = None,
     fused, report = fuse_graphs(stacked, gate, mesh=mesh,
                                 dedup_iters=dedup_iters, lm_info=lm_info)
     report = dict(report, tforms=tforms, n_align_matched=n_matched)
-    if solver not in ("auto", "dd", "hier"):
+    if solver not in ("auto", "dd", "hier", "hier3"):
         raise ValueError(f"unknown fusion solver {solver!r} "
-                         "(auto | dd | hier)")
+                         "(auto | dd | hier | hier3)")
     if cfg is not None:
-        if solver in ("dd", "hier"):
+        if solver in ("dd", "hier", "hier3"):
             from tpuslam.parallel.chain import chain_optimize
             if solve_mesh is None:
                 from tpuslam.parallel.mesh import make_chain_mesh
