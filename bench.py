@@ -13,6 +13,7 @@ frame-gathering busy-wait (reference src/slam.cpp:227-233); we report the
 measured compute-bound baseline and that design bound separately.
 """
 import json
+import os
 import sys
 import time
 
@@ -457,7 +458,11 @@ def main():
 
             base_b = bytes_of(frozenset())
             budget = {"total_gb": round(base_b / 1e9, 3)}
-            hooks = ("dup", "assoc", "packet", "edges", "gn")
+            # r5 (VERDICT r4 next #2): two finer axes split the former
+            # "non-optional core" — 'transforms' (global/body coordinate
+            # transforms) and 'closure' (detection prefix machinery)
+            hooks = ("dup", "assoc", "packet", "edges", "gn",
+                     "transforms", "closure")
             for nm in hooks:
                 _note(f"byte budget: {nm}")
                 delta = base_b - bytes_of(frozenset({nm}))
@@ -477,6 +482,79 @@ def main():
             out["byte_budget_s16"] = budget
         except Exception as e:  # noqa: BLE001
             out["error_byte_budget"] = repr(e)[:160]
+
+        # ---- device profiler trace at the knee (VERDICT r4 next #2): the
+        # r4 "issue/occupancy-limited" conclusion rested on cost-model
+        # elimination; this MEASURES where plateau time goes — one pass at
+        # the knee under jax.profiler, TPU device-lane events aggregated
+        # by op category + the top individual consumers.
+        try:
+            import glob as _glob
+            import gzip as _gzip
+            import tempfile as _tf
+            runner1 = make_runner(s_knee)(1)
+            jax.block_until_ready(runner1())          # warm/compile
+            with _tf.TemporaryDirectory() as td:
+                with jax.profiler.trace(td):
+                    r = runner1()
+                    jax.block_until_ready(r)
+                    _ = int(r[0])                     # force remote sync
+                tr = sorted(_glob.glob(
+                    td + "/plugins/profile/*/*.trace.json.gz"))[-1]
+                with _gzip.open(tr, "rt") as f:
+                    trace = json.load(f)
+            pids = {e["pid"]: e["args"]["name"]
+                    for e in trace["traceEvents"]
+                    if e.get("ph") == "M" and e.get("name") == "process_name"}
+            tpu_pids = {p for p, n in pids.items() if "TPU" in n}
+            cats = {}
+            tops = {}
+            total = 0.0
+            for e in trace["traceEvents"]:
+                if e.get("ph") != "X" or e.get("pid") not in tpu_pids:
+                    continue
+                nm = e.get("name", "")
+                dur = float(e.get("dur", 0.0))
+                if nm.startswith("jit_") or "(" in nm:
+                    continue                          # XLA-module envelope
+                low = nm.lower()
+                if "convolution" in low or "dot" in low:
+                    cat = "matmul/conv (+fused elementwise)"
+                elif ("gather" in low or "scatter" in low
+                        or "dynamic" in low or "select-and" in low):
+                    cat = "gather/scatter/dynamic-slice"
+                elif "reduce" in low or "sort" in low or "cumsum" in low:
+                    cat = "reduction/scan/sort"
+                elif "copy" in low or "transpose" in low or "bitcast" in low:
+                    cat = "copy/layout"
+                elif "all-reduce" in low or "collective" in low:
+                    cat = "collective"
+                else:
+                    cat = "elementwise/other fusion"
+                cats[cat] = cats.get(cat, 0.0) + dur
+                key = nm.split(".")[0]
+                tops[key] = tops.get(key, 0.0) + dur
+                total += dur
+            if total > 0:
+                out["knee_profile"] = {
+                    "device_time_us": round(total, 1),
+                    "by_category_pct": {
+                        k: round(v / total * 100, 1)
+                        for k, v in sorted(cats.items(),
+                                           key=lambda kv: -kv[1])},
+                    "top_ops_pct": {
+                        k: round(v / total * 100, 1)
+                        for k, v in sorted(tops.items(),
+                                           key=lambda kv: -kv[1])[:10]},
+                    "note": ("TPU device-lane events of ONE batched pass "
+                             f"at the knee (S={s_knee}) from a "
+                             "jax.profiler trace; categories from "
+                             "optimized-HLO op names (a fusion is binned "
+                             "by its root op, so 'matmul/conv' includes "
+                             "elementwise producers XLA fused into it)"),
+                }
+        except Exception as e:  # noqa: BLE001
+            out["error_knee_profile"] = repr(e)[:160]
         return out
 
     _section(extras, "batched_sessions", batched_section)
@@ -584,9 +662,12 @@ def main():
             jnp.asarray(poses_d, jnp.float32), cfg_f, 16)
         st_drift = sts_d.graph
         gate_d = 2.0 * gate_f       # annealed ICP gate spans the drift
+        # robust=True: trimmed ICP (best 75% of matched pairs per
+        # iteration) — closes the r4 drifted gap, 0.031 -> 0.020 m
+        # (scripts/exp_drifted_fusion.py; VERDICT r4 next #4)
         fused_d, rep_d = fusion.fuse_sessions(
             st_drift, cfg=fcfg, gate=gate_d, lm_info=sts_d.lm_info_xy,
-            align=True)
+            align=True, robust=True)
         jax.block_until_ready(fused_d.poses)
         lmd = np.asarray(fused_d.lm_xy)[:int(fused_d.n_landmarks)]
         # drifted sessions lose the shared frame: compare up to the
@@ -604,7 +685,7 @@ def main():
                     f2, _r = fusion.fuse_sessions(st2, cfg=fcfg,
                                                   gate=gate_d,
                                                   lm_info=sts_d.lm_info_xy,
-                                                  align=True)
+                                                  align=True, robust=True)
                     return f2.poses[0, 0] * 1e-12, f2.poses[0, 0]
                 _, ys = jax.lax.scan(one, jnp.float32(0), None, length=k)
                 return ys
@@ -663,8 +744,15 @@ def main():
     # no longer the default's prerequisite.
     def improved_full_section():
         out = {}
+        # r5 (VERDICT r4 next #3): the *_b32 rows run the SAME firing
+        # cadence inside block=32 bodies (mid-block multi-fire, each
+        # firing anchored at its frame's committed counts + one-gather
+        # publish re-refine) — the accuracy cadence no longer dictates
+        # the throughput block size
         for tag, every, blk, primary in (("", 16, 16, True),
-                                         ("_every8", 8, 8, False)):
+                                         ("_every16_b32", 16, 32, False),
+                                         ("_every8", 8, 8, False),
+                                         ("_every8_b32", 8, 32, False)):
             cfg_im = SlamConfig.improved(capacity=cap,
                                          periodic_gn_every=every)
             st_im, outs_im = run_sequence_blocked(
@@ -904,9 +992,31 @@ def main():
         t0 = time.perf_counter()
         gold.run_scenario(scen)
         dt_gold = min(dt_gold, time.perf_counter() - t0)
-    fps_gold = t_frames / dt_gold
+    fps_gold_meas = t_frames / dt_gold
     gold_ate = ate(np.stack(gold.trajectory)[:, :2], scen.gt_poses[:t_frames, :2]) \
         if gold.trajectory else float("nan")
+    # PINNED golden baseline (VERDICT r4 next #6): best-of-3 still swung
+    # 32% between hosts/runs, moving the vs_baseline denominator with it.
+    # The committed BASELINE_golden.json pins the denominator; the
+    # measured value is still reported for drift visibility, and a first
+    # run on a fresh checkout writes the pin.
+    pin_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BASELINE_golden.json")
+    try:
+        with open(pin_path) as f:
+            pin = json.load(f)
+        fps_gold = float(pin["baseline_fps_cpu_golden"])
+        gold_src = "pinned:BASELINE_golden.json"
+    except (OSError, KeyError, ValueError):
+        fps_gold = fps_gold_meas
+        gold_src = "measured:first-run (pin written)"
+        with open(pin_path, "w") as f:
+            json.dump({"baseline_fps_cpu_golden": round(fps_gold_meas, 2),
+                       "frames": t_frames,
+                       "note": ("reference-semantics pure-Python golden "
+                                "frontend, best of 3 on the bench primary "
+                                "scenario; pinned so vs_baseline is stable "
+                                "across hosts/runs")}, f, indent=1)
 
     # the reference service's own design bound: gatheringTimeMs busy-wait
     reference_design_bound_fps = 1000.0 / cfg.gathering_time_ms
@@ -917,6 +1027,8 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(fps_tpu / fps_gold, 2),
         "baseline_fps_cpu_golden": round(fps_gold, 2),
+        "baseline_fps_source": gold_src,
+        "baseline_fps_cpu_golden_measured": round(fps_gold_meas, 2),
         "reference_design_bound_fps": reference_design_bound_fps,
         "batched_sessions": n_sess,
         "reference_frame_budget_us": cfg.gathering_time_ms * 1000.0,
@@ -939,8 +1051,10 @@ def main():
         "primary_fps_min", "primary_fps_max", "ate_m", "baseline_ate_m",
         "loop_closed", "frames", "batched_knee_frames_per_sec_per_chip",
         "knee_hbm_util_pct", "improved_frames_per_sec_per_chip",
-        "improved_frames_per_sec_per_chip_every8", "map_error_fused_m",
-        "device",
+        "improved_frames_per_sec_per_chip_every8",
+        "improved_frames_per_sec_per_chip_every8_b32",
+        "ate_improved_blocked_online_m_every8_b32", "map_error_fused_m",
+        "map_error_fused_drifted_m", "device",
     )
     print(json.dumps({k: full[k] for k in compact_keys if k in full}))
 
