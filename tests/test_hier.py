@@ -182,3 +182,40 @@ def test_hier3_level3_smaller_than_level2():
                                  tray=16, shared_per_boundary=5.0,
                                  iterations=4, model=mdl)
     assert e3 >= 0.70 > e2, (e3, e2)
+
+
+def test_hier3_payload_instrumented():
+    """Absolute analytic-vs-instrumented cross-check for the three-level
+    tier (same contract as the two-level check above)."""
+    from tpuslam.parallel.hier3 import (chain_gn_step_dd_hier3,
+                                        hier3_comm_bytes_per_iteration,
+                                        partition_chain_hier3)
+    from tpuslam.parallel.instrument import collective_payload_bytes
+    g = _chain_world()
+    mesh = make_chain_mesh(8)
+    cfg = gn.GNConfig(iterations=1)
+    hplan = partition_chain_hier3(g, 8, tray=2, pod=4)
+    rp = hplan.rplan
+    L = CAP.max_landmarks
+    gid = rp.lm_local_gid
+    lm_loc = g.lm_xy[jnp.clip(gid, 0, L - 1)].reshape(-1, 2)
+    sh = rp.shared_idx
+    lm_shared = g.lm_xy[jnp.clip(sh, 0, L - 1)]
+    g2 = rp.graph
+    meas = collective_payload_bytes(
+        lambda p_, ll, ls: chain_gn_step_dd_hier3(
+            p_, g2.odo_meas, g2.odo_w, g2.prior_pose, g2.prior_info,
+            ll, gid.reshape(-1), ls, sh, hplan, cfg, mesh,
+            g.n_poses, g.n_landmarks),
+        g2.poses, lm_loc, lm_shared)
+    ana = hier3_comm_bytes_per_iteration(hplan)
+    analytic_psum = (ana["level1_ici_psum"] + ana["level2_pod_psum"]
+                     + ana["level3_cross_psum"] + ana["shared_hll_gl_psum"]
+                     + ana["dl_shared_psum"])
+    inst_psum = meas["psum"]["bytes"]
+    assert abs(inst_psum - analytic_psum) <= 0.15 * analytic_psum, \
+        (inst_psum, analytic_psum, ana)
+    if "ppermute" in meas:
+        assert abs(meas["ppermute"]["bytes"]
+                   - ana["pose_halo_ppermute"]) \
+            <= 0.5 * ana["pose_halo_ppermute"] + 64

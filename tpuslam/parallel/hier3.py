@@ -54,7 +54,8 @@ from tpuslam.parallel.resident import (ResidentChainPlan,
                                        partition_chain_resident)
 
 __all__ = ["Hier3ChainPlan", "partition_chain_hier3",
-           "chain_gn_step_dd_hier3", "chain_optimize_hier3"]
+           "chain_gn_step_dd_hier3", "chain_optimize_hier3",
+           "hier3_comm_bytes_per_iteration"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -521,3 +522,26 @@ def chain_optimize_hier3(g: FactorGraph, cfg: gn.GNConfig, mesh,
     lm = g.lm_xy.at[jnp.where(gid_f < L, gid_f, L)].set(new_loc, mode="drop")
     lm = lm.at[jnp.where(sh < L, sh, L)].set(new_sh, mode="drop")
     return dataclasses.replace(g, poses=new_poses, lm_xy=lm)
+
+
+def hier3_comm_bytes_per_iteration(hplan: Hier3ChainPlan) -> dict:
+    """Analytic per-iteration comm volume by level, for the instrumented
+    cross-check (tests/test_hier.py::test_hier3_payload_instrumented):
+    level 1 rides the tray's ICI group, level 2 the pod's ICI group,
+    level 3 (and the O(lsh) shared-landmark vectors) cross pods."""
+    ms = hplan.wt + hplan.wk2 + hplan.mk3     # level-1 sub-interface
+    mw = hplan.wk2 + hplan.mk3                # level-2 sub-interface
+    mk3 = hplan.mk3
+    lsh = hplan.rplan.shared_cap
+    return {
+        "level1_ici_psum": (ms * ms + ms) * 4,
+        "level2_pod_psum": (mw * mw + mw) * 4,
+        "level3_cross_psum": (mk3 * mk3 + mk3) * 4,
+        "shared_hll_gl_psum": lsh * 6 * 4,
+        "dl_shared_psum": lsh * 2 * 4,
+        "pose_halo_ppermute": 2 * (3 + 9 + 3) * 4,
+        "note": ("level-1 payload ~ flat m/T within a tray (ICI); level 2 "
+                 "sums tray complements within the pod (ICI); only the "
+                 "[mk3, mk3] system and the O(lsh) shared-update vectors "
+                 "cross pods"),
+    }
