@@ -330,13 +330,14 @@ def main():
                         iterations=ccfg.iterations, model=mdl), 3)
             weak[f"D={d}"] = row
         weak["envelope_note"] = (
-            "the TWO-level solve (shipped: parallel/hier.py, "
-            "chain_optimize solver='hier') is valid to one v5e pod "
-            "(D<=256, >=0.70 weak at tray=16); past a pod its level-2 "
-            "exchange crosses DCN and efficiency falls to 0.45 by D=1024. "
-            "The THREE-level scheme (modeled: comm_model.hier3_comm_time; "
-            "trays -> pod boundary on ICI -> O(n_pods) system on DCN) "
-            "holds >=0.70 to D=1024 and is the designed continuation")
+            "the TWO-level solve (parallel/hier.py, chain_optimize "
+            "solver='hier') is valid to one v5e pod (D<=256, >=0.70 weak "
+            "at tray=16); past a pod its level-2 exchange crosses DCN and "
+            "efficiency falls to 0.45 by D=1024. The THREE-level solve "
+            "(SHIPPED: parallel/hier3.py, solver='hier3' — trays -> pod "
+            "boundary on ICI -> O(n_pods) system on DCN; oracle-equal on "
+            "the virtual mesh, payload instrumented vs analytic) holds "
+            ">=0.70 to D=1024 and 0.65 at D=4096")
         strong_hier = {
             f"D={d}": round(predict_efficiency_hier(
                 t1_comp, d, 16 if d >= 16 else 8,
@@ -391,9 +392,15 @@ def main():
             cmp_o = _pick_compact(v_p)
             # while_loop trip counts (the closure/window GN) are dynamic:
             # instrument BOTH bounds — bodies counted once (lower) and at
-            # the GN iteration cap (upper) — and feed the UPPER bound to
-            # the predictions (conservative)
+            # the trip-count cap (upper) — and feed the UPPER bound to
+            # the predictions (conservative). r5: the sharded closure GN
+            # pair-steps (two gated GN steps per while trip, convergence
+            # checked once per pair), so its body executes at most
+            # ceil(iterations/2) trips — the cap reflects that, not the
+            # raw iteration count (which would double-count the body's
+            # two psums).
             gn_iters = max(scfg.gn_iterations, scfg.periodic_gn_iterations)
+            gn_iters = (gn_iters + 1) // 2
             per_d = {}
             for d in (2, 4, 8):
                 if n_dev % d or scap.max_landmarks % d:
