@@ -383,7 +383,7 @@ def chain_gn_step_dd_hier3(poses, odo_meas, odo_w, prior_pose, prior_info,
         # ---- tray Schur: eliminate my tray's W block ----
         A_ww = S_t[:wt, :wt]
         B_wk = S_t[:wt, wt:]
-        g_w = S_g_w = g_t[:wt]
+        g_w = g_t[:wt]
         K_kk = S_t[wt:, wt:]
         g_k = g_t[wt:]
         chol_w = jnp.linalg.cholesky(A_ww)
