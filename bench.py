@@ -97,8 +97,7 @@ def _hlo_top_bytes(compiled, top: int = 10) -> dict:
     line_re = re.compile(r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*(.*?)\s"
                          r"([\w\-]+)\(")
     skip = {"while", "conditional", "call", "parameter", "constant",
-            "tuple", "get-tuple-element", "bitcast", "copy-done",
-            "get-tuple-element.1"}
+            "tuple", "get-tuple-element", "bitcast", "copy-done"}
     for line in txt.splitlines():
         mm = line_re.match(line)
         if not mm:
@@ -564,6 +563,29 @@ def main():
                     for e in trace["traceEvents"]
                     if e.get("ph") == "M" and e.get("name") == "process_name"}
             tpu_pids = {p for p, n in pids.items() if "TPU" in n}
+            # generic 'fusion.N' events are the bulk of device time; name
+            # them by their ROOT opcode from the compiled module text
+            # ("%fusion.N = ... fusion(...), calls=%comp" + comp's "ROOT
+            # %x = ty op(...)"), so the top-op table reads e.g.
+            # select_fusion instead of an unattributed 73% 'fusion' bucket
+            import re as _re
+            hlo_txt = runner1.lower().compile().as_text()
+            comp_root = {}
+            cur_comp = None
+            for ln in hlo_txt.splitlines():
+                mm = _re.match(r"%?([\w.\-]+)\s*(?:\([^)]*\))?\s*"
+                               r"(?:->.*)?\s*\{\s*(?:/\*.*\*/)?\s*$", ln)
+                if mm and "=" not in ln:
+                    cur_comp = mm.group(1)
+                rm = _re.match(r"\s*ROOT\s+%?[\w.\-]+\s*=\s*[^=]*?\s"
+                               r"([\w\-]+)\(", ln)
+                if rm and cur_comp:
+                    comp_root[cur_comp] = rm.group(1)
+            fusion_root = {}
+            for mm in _re.finditer(
+                    r"%?([\w.\-]+)\s*=\s*[^=\n]*?\sfusion\([^\n]*?"
+                    r"calls=%?([\w.\-]+)", hlo_txt):
+                fusion_root[mm.group(1)] = comp_root.get(mm.group(2), "")
             cats = {}
             tops = {}
             total = 0.0
@@ -574,6 +596,10 @@ def main():
                 dur = float(e.get("dur", 0.0))
                 if nm.startswith("jit_") or "(" in nm:
                     continue                          # XLA-module envelope
+                if nm.split(".")[0] == "fusion":
+                    root = fusion_root.get(nm, "")
+                    if root:
+                        nm = f"fusion[{root}]"
                 low = nm.lower()
                 if low.split(".")[0] in ("while", "conditional", "call"):
                     # control-flow ENVELOPE events overlap their body ops
