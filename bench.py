@@ -127,12 +127,20 @@ def _hlo_top_bytes(compiled, top: int = 10) -> dict:
 
 def _section(extras, name, fn):
     """Run an optional bench section; a failure records an error key instead
-    of killing the primary metric."""
+    of killing the primary metric. One retry: the remote-TPU tunnel
+    occasionally drops a compile mid-section ('response body closed'), and
+    a fresh attempt succeeds — losing a whole section's record to one
+    transient beats nothing, but retrying beats both."""
     _note(name)
-    try:
-        extras.update(fn())
-    except Exception as e:  # noqa: BLE001 - report, don't die
-        extras[f"error_{name}"] = repr(e)[:200]
+    for attempt in (1, 2):
+        try:
+            extras.update(fn())
+            return
+        except Exception as e:  # noqa: BLE001 - report, don't die
+            extras[f"error_{name}"] = repr(e)[:200]
+            if attempt == 1:
+                _note(f"{name}: failed ({repr(e)[:80]}), retrying once")
+                time.sleep(10)
 
 
 def main():
