@@ -217,10 +217,11 @@ def cmd_sim(args):
 
             def run():
                 return run_pass_resident_online(obs, valid, poses, cfg,
-                                                mesh, block=16)
+                                                mesh, block=args.block)
         else:
             def run():
-                return run_pass_blocked(obs, valid, poses, cfg)
+                return run_pass_blocked(obs, valid, poses, cfg,
+                                        block=args.block)
         try:
             run()                                      # warm/compile
         except ValueError as e:
@@ -576,6 +577,12 @@ def main(argv=None):
                     help="device count for --pipeline resident (0 = all "
                          "visible devices; rounded down to divide the "
                          "landmark capacity)")
+    ps.add_argument("--block", type=int, default=16,
+                    help="frames per scan step for the blocked/resident "
+                         "pipelines; with --improved, a periodic-GN "
+                         "cadence that divides the block runs mid-block "
+                         "multi-fire (e.g. --block 32 with the every-16 "
+                         "default — the measured throughput sweet spot)")
     ps.add_argument("--png")
     ps.set_defaults(fn=cmd_sim)
 
